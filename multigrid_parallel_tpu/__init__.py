@@ -29,6 +29,9 @@ from multigrid_parallel_tpu.cycles import (
     v_cycle,
     fmg_initialize,
     solve,
+    solve_mixed,
+    solve_on_device,
+    solve_on_device_mixed,
     SolveResult,
 )
 from multigrid_parallel_tpu.solver import MultigridSolver
@@ -46,6 +49,9 @@ __all__ = [
     "v_cycle",
     "fmg_initialize",
     "solve",
+    "solve_mixed",
+    "solve_on_device",
+    "solve_on_device_mixed",
     "SolveResult",
     "MultigridSolver",
 ]

@@ -61,20 +61,37 @@ def _smooth(ops, cfg: CycleConfig, u, f, h, red_first: bool):
     raise ValueError(f"unknown smoother {cfg.smoother!r}")
 
 
-def _descend(ops, hier: Hierarchy, cfg: CycleConfig, coarse_solve, u, f, level: int):
+def _descend(
+    ops,
+    hier: Hierarchy,
+    cfg: CycleConfig,
+    coarse_solve,
+    u,
+    f,
+    level: int,
+    correction: bool = False,
+):
     """One V-cycle from `level` down; returns the updated solution at
-    `level`. Matches the stage order of mg_3d.h:1242-1362."""
+    `level`. Matches the stage order of mg_3d.h:1242-1362.
+
+    ``correction=True`` marks a sub-solve of the error equation, whose
+    RHS boundary is exactly zero; its coarse-solve output boundary is
+    re-zeroed to kill O(eps) pivoted-solve noise that the interior-only
+    outer residual could otherwise never correct (critical in the f32
+    mixed-precision path, harmless 1e-15 hygiene in f64).
+    """
     if level == 0:
         # Coarsest: direct solve (mg_3d.h:1262-1277). The reference zeroes
         # v first then LU-solves into it; a direct solve needs no init.
-        return coarse_solve(f)
+        x = coarse_solve(f)
+        return ops.zero_boundary(x) if correction else x
     h = hier.spacing(level)
     u = _smooth(ops, cfg, u, f, h, red_first=True)  # preSmoother
     r = ops.residual(u, f, h)  # calculateResidual
     fc = ops.restrict_full_weighting(r)  # restrictResidual
     # Recurse with zero initial guess (the mg_3d.h:1254-1260 memset).
     ec0 = jnp.zeros((hier.sizes[level - 1],) * hier.ndim, dtype=u.dtype)
-    ec = _descend(ops, hier, cfg, coarse_solve, ec0, fc, level - 1)
+    ec = _descend(ops, hier, cfg, coarse_solve, ec0, fc, level - 1, correction=True)
     u = ops.prolong_correct(ec, u)  # prolongateAndCorrectError
     u = _smooth(ops, cfg, u, f, h, red_first=False)  # postSmoother
     return u
@@ -232,6 +249,158 @@ def solve(
         error_norm=err,
         wall_time_s=wall,
     )
+
+
+def make_mixed_cycle(hier: Hierarchy, cfg: CycleConfig = CycleConfig()):
+    """Mixed-precision defect-correction cycle: f64 state, f32 V-cycle.
+
+    TPU-first accuracy strategy (SURVEY.md §7 step 6): TPU f64 is emulated
+    (~3x slower than f32), so the hot smoothing sweeps run in f32 while the
+    outer iteration keeps the solution and residual in f64:
+
+        r64 = f - A u64          (one f64 stencil pass)
+        e32 = Vcycle32(A, r64/s) (all smoothing in f32, s = ||r|| scaling
+                                  so the f32 correction solve is O(1))
+        u64 += s * e64(e32)
+
+    Classic iterative refinement: converges at the V-cycle rate to f64
+    accuracy, because each defect equation is solved on a rescaled O(1)
+    right-hand side where f32 precision is ample.
+
+    Returns (cycle_fn, ops): cycle_fn(u64, f64) -> (u64', ||r||_2 in f64).
+    """
+    ops = _ops(hier.ndim)
+    f32 = jnp.float32
+    hier32 = dataclasses.replace(hier, dtype=f32)
+    coarse32 = coarse_ops.make_coarse_solver(
+        hier.coarse_n, hier.spacing(0), hier.ndim, f32, cfg.coarse_method
+    )
+    level = hier.num_levels - 1
+    h = hier.spacing(level)
+
+    def cycle(u, f):
+        r = ops.residual(u, f, h)  # f64
+        nrm = jnp.sqrt(jnp.sum(r * r))
+        # Guard: if already fully converged, avoid dividing by ~0.
+        safe = jnp.maximum(nrm, jnp.asarray(1e-300, dtype=u.dtype))
+        r32 = (r / safe).astype(f32)
+        e0 = jnp.zeros_like(r32)
+        e32 = _descend(ops, hier32, cfg, coarse32, e0, r32, level, correction=True)
+        u = u + safe * e32.astype(u.dtype)
+        norm_after = ops.residual_norm(u, f, h)
+        return u, norm_after
+
+    return cycle
+
+
+def solve_mixed(
+    problem: Problem,
+    hier: Hierarchy,
+    cfg: CycleConfig = CycleConfig(),
+    rel_tol: float = 1e-8,
+    max_cycles: int = 100,
+    verbose: bool = False,
+) -> SolveResult:
+    """Host-loop driver around the mixed-precision cycle (f64 hierarchy)."""
+    cycle = jax.jit(make_mixed_cycle(hier, cfg))
+    u, f = setup_problem(problem, hier)
+    init_resid = float(jnp.sqrt(jnp.sum(f * f)))
+    t0 = time.perf_counter()
+    norms: List[float] = []
+    converged = False
+    old = init_resid
+    for it in range(max_cycles):
+        u, norm = cycle(u, f)
+        n = float(norm)
+        norms.append(n)
+        if verbose:
+            print(f"cycle {it:3d}  resid {n:.6e}  ratio {n / old:.4f}")
+        old = n
+        if n <= rel_tol * init_resid:
+            converged = True
+            break
+    u.block_until_ready()
+    wall = time.perf_counter() - t0
+    err = None
+    if problem.analytic is not None:
+        exact = evaluate_on_grid(problem.analytic, hier, hier.num_levels - 1)
+        err = float(jnp.sqrt(jnp.sum((u - exact) ** 2)))
+    return SolveResult(
+        u=u,
+        residual_norms=norms,
+        initial_residual=init_resid,
+        n_cycles=len(norms),
+        converged=converged,
+        error_norm=err,
+        wall_time_s=wall,
+    )
+
+
+def make_on_device_mixed_solver(
+    hier: Hierarchy,
+    cfg: CycleConfig = CycleConfig(),
+    rel_tol: float = 1e-8,
+    max_cycles: int = 100,
+):
+    """Build run(u0, f) -> (u, norm, n_cycles): the whole mixed-precision
+    solve as ONE jitted lax.while_loop. Jit once, call many times — the
+    benchmark path.
+
+    One f64 residual pass per cycle: the loop carries (u, r, ||r||), so
+    the post-update residual doubles as the next defect (no recompute).
+    """
+    ops = _ops(hier.ndim)
+    f32 = jnp.float32
+    hier32 = dataclasses.replace(hier, dtype=f32)
+    coarse32 = coarse_ops.make_coarse_solver(
+        hier.coarse_n, hier.spacing(0), hier.ndim, f32, cfg.coarse_method
+    )
+    level = hier.num_levels - 1
+    h = hier.spacing(level)
+
+    def body(state):
+        u, r, nrm, it, f = state
+        safe = jnp.maximum(nrm, jnp.asarray(1e-300, dtype=u.dtype))
+        r32 = (r / safe).astype(f32)
+        e0 = jnp.zeros_like(r32)
+        e32 = _descend(ops, hier32, cfg, coarse32, e0, r32, level, correction=True)
+        u = u + safe * e32.astype(u.dtype)
+        r = ops.residual(u, f, h)
+        nrm = jnp.sqrt(jnp.sum(r * r))
+        return u, r, nrm, it + 1, f
+
+    @jax.jit
+    def run(u0, f):
+        init = jnp.sqrt(jnp.sum(f * f))
+        tol = rel_tol * init
+
+        def cond(state):
+            _, _, nrm, it, _ = state
+            return jnp.logical_and(nrm > tol, it < max_cycles)
+
+        r0 = ops.residual(u0, f, h)
+        n0 = jnp.sqrt(jnp.sum(r0 * r0))
+        u, _, nrm, it, _ = jax.lax.while_loop(
+            cond, body, (u0, r0, n0, jnp.asarray(0), f)
+        )
+        return u, nrm, it
+
+    return run
+
+
+def solve_on_device_mixed(
+    problem: Problem,
+    hier: Hierarchy,
+    cfg: CycleConfig = CycleConfig(),
+    rel_tol: float = 1e-8,
+    max_cycles: int = 100,
+):
+    """Mixed-precision solve in one jitted lax.while_loop (benchmark path)."""
+    run = make_on_device_mixed_solver(hier, cfg, rel_tol, max_cycles)
+    u0, f = setup_problem(problem, hier)
+    init = float(jnp.sqrt(jnp.sum(f * f)))
+    u, norm, n_cycles = run(u0, f)
+    return u, float(norm), int(n_cycles), init
 
 
 def solve_on_device(

@@ -35,6 +35,12 @@ def _masks_np(n: int, offset: int = 0):
     return (par == RED) & interior, (par == BLACK) & interior, interior
 
 
+def zero_boundary(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero the two endpoint nodes (see stencils_3d.zero_boundary)."""
+    _, _, interior = _masks_np(x.shape[0])
+    return jnp.where(jnp.asarray(interior), x, jnp.zeros_like(x))
+
+
 def neighbor_sum(u: jnp.ndarray) -> jnp.ndarray:
     return jnp.roll(u, 1) + jnp.roll(u, -1)
 

@@ -52,6 +52,16 @@ def _masks_np(n: int, i_offset: int = 0):
     return red, black, interior
 
 
+def zero_boundary(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero all boundary nodes. Used on coarse-level *corrections*, whose
+    boundary is exactly zero in exact arithmetic (identity boundary rows x
+    zero RHS, mg_3d.h:185) but picks up O(eps) noise from the pivoted
+    coarse solve — which the interior-only outer residual could never
+    correct."""
+    _, _, interior = _masks_np(x.shape[0])
+    return jnp.where(jnp.asarray(interior), x, jnp.zeros_like(x))
+
+
 def neighbor_sum(u: jnp.ndarray) -> jnp.ndarray:
     """Sum of the 6 face neighbors, in the reference's addition order
     (i-1)+(i+1)+(j-1)+(j+1)+(k-1)+(k+1) (mg_3d.h:439-441).
@@ -144,6 +154,47 @@ _FW_WEIGHTS = {
 }
 
 
+@functools.lru_cache(maxsize=None)
+def _restrict_matrix_np(nf: int) -> np.ndarray:
+    """(nc, nf) separable full-weighting matrix: interior rows the 3-tap
+    [1/4, 1/2, 1/4] stencil at stride 2, end rows injection. The 27-point
+    table of mg_3d.h:851-872 is exactly the tensor product of three of
+    these ((1/2)^3 = 1/8 center, ..., (1/4)^3 = 1/64 corners)."""
+    nc = (nf + 1) // 2
+    s = np.zeros((nc, nf))
+    s[0, 0] = 1.0
+    s[nc - 1, nf - 1] = 1.0
+    for ic in range(1, nc - 1):
+        s[ic, 2 * ic - 1 : 2 * ic + 2] = (0.25, 0.5, 0.25)
+    return s
+
+
+@functools.lru_cache(maxsize=None)
+def _inject_matrix_np(nf: int) -> np.ndarray:
+    """(nc, nf) pure-injection selection matrix (coincident fine point)."""
+    nc = (nf + 1) // 2
+    j = np.zeros((nc, nf))
+    j[np.arange(nc), 2 * np.arange(nc)] = 1.0
+    return j
+
+
+@functools.lru_cache(maxsize=None)
+def _prolong_matrix_np(nc: int) -> np.ndarray:
+    """(nf, nc) linear-interpolation matrix: even fine rows copy the
+    coincident coarse point, odd rows average the two neighbors. The
+    tensor product of three of these is exactly the 4-parity-case
+    trilinear kernel of mg_3d.h:1000-1145."""
+    nf = 2 * nc - 1
+    p = np.zeros((nf, nc))
+    p[2 * np.arange(nc), np.arange(nc)] = 1.0
+    p[2 * np.arange(nc - 1) + 1, np.arange(nc - 1)] = 0.5
+    p[2 * np.arange(nc - 1) + 1, np.arange(nc - 1) + 1] = 0.5
+    return p
+
+
+_HIGHEST = jax.lax.Precision.HIGHEST  # full-precision MXU passes
+
+
 def restrict_full_weighting(r: jnp.ndarray) -> jnp.ndarray:
     """Fine (Nf^3) -> coarse (Nc^3), Nc = (Nf+1)/2.
 
@@ -152,13 +203,56 @@ def restrict_full_weighting(r: jnp.ndarray) -> jnp.ndarray:
     residual (zero boundary) this keeps the coarse RHS boundary zero,
     which together with the identity boundary rows of the coarse matrix
     (mg_3d.h:185) pins the coarse error to zero on the boundary.
+
+    TPU-first formulation: the separable stencil runs as three small
+    dense matmuls on the MXU (one per axis) instead of 27 stride-2
+    gathers — stride-2 slicing relayouts are pathologically slow on TPU
+    (measured 775 ms vs ~2 ms at 257^3). Boundary injection is the same
+    trick with a selection matrix on the six faces.
     """
     nf = r.shape[0]
-    nc = (nf + 1) // 2
-    # Injection everywhere (covers all six faces in one strided slice).
+    s = jnp.asarray(_restrict_matrix_np(nf), dtype=r.dtype)
+    t = jnp.einsum("ai,ijk->ajk", s, r, precision=_HIGHEST)
+    t = jnp.einsum("bj,ajk->abk", s, t, precision=_HIGHEST)
+    t = jnp.einsum("ck,abk->abc", s, t, precision=_HIGHEST)
+    # Overwrite the six faces with pure injection (mg_3d.h:879-958); the
+    # separable end rows alone would 2D-filter the tangential directions.
+    j = jnp.asarray(_inject_matrix_np(nf), dtype=r.dtype)
+
+    def inject2d(face):  # (nf, nf) -> (nc, nc)
+        return jnp.einsum(
+            "bj,ck,jk->bc", j, j, face, precision=_HIGHEST
+        )
+
+    t = t.at[0].set(inject2d(r[0]))
+    t = t.at[-1].set(inject2d(r[-1]))
+    t = t.at[:, 0].set(inject2d(r[:, 0]))
+    t = t.at[:, -1].set(inject2d(r[:, -1]))
+    t = t.at[:, :, 0].set(inject2d(r[:, :, 0]))
+    t = t.at[:, :, -1].set(inject2d(r[:, :, -1]))
+    return t
+
+
+def prolong_correct(ec: jnp.ndarray, ef: jnp.ndarray) -> jnp.ndarray:
+    """ef += trilinear_interp(ec), all fine nodes (mg_3d.h:1000-1145).
+
+    TPU-first formulation: trilinear interpolation as three separable
+    interpolation matmuls (MXU) instead of 8 parity-class strided
+    scatter-adds (measured 181 ms vs ~2 ms at 129->257).
+    """
+    nc = ec.shape[0]
+    p = jnp.asarray(_prolong_matrix_np(nc), dtype=ec.dtype)
+    t = jnp.einsum("ia,abc->ibc", p, ec, precision=_HIGHEST)
+    t = jnp.einsum("jb,ibc->ijc", p, t, precision=_HIGHEST)
+    t = jnp.einsum("kc,ijc->ijk", p, t, precision=_HIGHEST)
+    return ef + t
+
+
+def restrict_full_weighting_slices(r: jnp.ndarray) -> jnp.ndarray:
+    """Strided-slice formulation (the direct transcription of the C loops;
+    kept as a cross-check oracle — slow on TPU, fine on CPU)."""
+    nf = r.shape[0]
     out = r[::2, ::2, ::2]
-    # Interior full weighting: coarse (i,j,k) in [1, nc-2] reads fine
-    # (2i+di, 2j+dj, 2k+dk). Each term is a strided slice of length nc-2.
     core = None
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
@@ -174,14 +268,9 @@ def restrict_full_weighting(r: jnp.ndarray) -> jnp.ndarray:
     return out.at[1:-1, 1:-1, 1:-1].set(core)
 
 
-def prolong_correct(ec: jnp.ndarray, ef: jnp.ndarray) -> jnp.ndarray:
-    """ef += trilinear_interp(ec), all fine nodes (mg_3d.h:1000-1145).
-
-    The C kernel's 4-way parity case analysis *is* trilinear interpolation;
-    here each of the 8 (i%2, j%2, k%2) parity classes is one strided slice
-    update, with corner addition order matching the C tables so f64 runs
-    are bitwise-comparable.
-    """
+def prolong_correct_slices(ec: jnp.ndarray, ef: jnp.ndarray) -> jnp.ndarray:
+    """Parity-class strided-slice formulation (cross-check oracle; the
+    addition order per point matches the C corner tables)."""
     # Shorthands: e = even fine index (coincident with coarse), o = odd.
     c = ec
     # (even, even, even): coincident copy (mg_3d.h:1137-1138).

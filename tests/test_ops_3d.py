@@ -82,7 +82,12 @@ def test_restrict_matches_golden(rng):
     want = golden3d.restrict(r, nc)
     got = np.asarray(ops.restrict_full_weighting(jnp.asarray(r)))
     assert got.shape == (nc, nc, nc)
-    np.testing.assert_allclose(got, want, rtol=0, atol=1e-15)
+    # separable-matmul formulation reassociates the 27-term sum
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-13)
+    # the strided-slice oracle matches the golden more tightly
+    got_sl = np.asarray(ops.restrict_full_weighting_slices(jnp.asarray(r)))
+    np.testing.assert_allclose(got_sl, want, rtol=0, atol=1e-15)
+    np.testing.assert_allclose(got, got_sl, rtol=0, atol=1e-13)
 
 
 def test_restrict_weights_sum_to_one(rng):
@@ -98,8 +103,10 @@ def test_prolong_correct_matches_golden(rng):
     ef = rng.standard_normal((nf, nf, nf))
     want = golden3d.prolong_correct(ec, ef.copy())
     got = np.asarray(ops.prolong_correct(jnp.asarray(ec), jnp.asarray(ef)))
-    # same addition order per point; ulp tolerance for FMA contraction
-    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-14)
+    # separable-matmul formulation reassociates the corner sums
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-13)
+    got_sl = np.asarray(ops.prolong_correct_slices(jnp.asarray(ec), jnp.asarray(ef)))
+    np.testing.assert_allclose(got_sl, want, rtol=1e-13, atol=1e-14)
 
 
 def test_prolong_exact_on_trilinear_fields():
