@@ -5,14 +5,15 @@ levels such that finest=257, 2 RB-GS pre+post sweeps, relative residual
 tolerance 1e-8 against ||f||_2 — BASELINE.md measures the C/OpenMP code at
 10.74 s wall / ~113 Mlattice-updates/s on 4 CPU threads).
 
-Metric: effective smoother throughput in Mlattice-updates/s =
-(cycles x 4 half-sweep-pairs x interior^3 x 1.14 level-sum) / wall-time —
-the same derived metric BASELINE.md uses, so vs_baseline is directly
-comparable. The whole solve runs in ONE jitted lax.while_loop on device
-(no host round-trips); precision is the mixed f32-cycle/f64-residual
-scheme which converges at the f64 rate.
+Solver under test: the Pallas performance path — fused-smoother /
+fused-residual TPU kernels inside an f32 correction V-cycle (padded lane
+layout), wrapped in an f64 defect-correction outer loop (4 inner cycles
+per f64 residual pass), the whole solve one jitted lax.while_loop.
 
-Prints exactly one JSON line.
+Metric: effective smoother throughput in Mlattice-updates/s =
+(V-cycles x 2x2 half-sweeps x interior^3 x 1.14 level-sum) / wall-time —
+the same derived metric BASELINE.md uses, so vs_baseline is directly
+comparable. Prints exactly one JSON line.
 """
 
 import json
@@ -23,10 +24,14 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 import multigrid_parallel_tpu as mg  # noqa: E402
-from multigrid_parallel_tpu.cycles import solve_on_device_mixed  # noqa: E402
+from multigrid_parallel_tpu.cycles import setup_problem  # noqa: E402
+from multigrid_parallel_tpu.cycles_padded import (  # noqa: E402
+    make_on_device_mixed_solver_pallas,
+)
 
 BASELINE_MUPS = 113.0  # BASELINE.md: derived C/OpenMP throughput, 4 threads
 REL_TOL = 1e-8  # the reference driver's tolerance (test_mg_3d.c:19)
+INNER_CYCLES = 4  # f32 V-cycles per f64 defect-correction step
 
 
 def run(levels: int = 7, n_smooth: int = 2, repeats: int = 3):
@@ -34,26 +39,27 @@ def run(levels: int = 7, n_smooth: int = 2, repeats: int = 3):
     cfg = mg.CycleConfig(n_smooth=n_smooth)
     problem = mg.poisson_3d_quadratic()
 
-    from multigrid_parallel_tpu.cycles import make_on_device_mixed_solver, setup_problem
-
-    solver = make_on_device_mixed_solver(hier, cfg, rel_tol=REL_TOL, max_cycles=40)
+    solver = make_on_device_mixed_solver_pallas(
+        hier, cfg, rel_tol=REL_TOL, max_cycles=40, inner_cycles=INNER_CYCLES
+    )
     u0, f = setup_problem(problem, hier)
     init = float((f * f).sum() ** 0.5)
 
     # Warm-up: compile + one full solve.
-    u, norm, n_cycles = solver(u0, f)
-    norm, n_cycles = float(norm), int(n_cycles)
+    u, norm, n_outer = solver(u0, f)
+    norm, n_outer = float(norm), int(n_outer)
     assert norm <= REL_TOL * init, (norm, init)
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         u, norm_d, it_d = solver(u0, f)
-        norm, n_cycles = float(norm_d), int(it_d)  # host sync
+        norm, n_outer = float(norm_d), int(it_d)  # host sync
         best = min(best, time.perf_counter() - t0)
 
     n = hier.finest_n
     interior = (n - 2) ** 3
+    n_cycles = n_outer * INNER_CYCLES
     # 1.14: sum over levels of (1/8)^k work ratio (BASELINE.md derivation)
     updates = n_cycles * 4 * interior * 1.14
     mups = updates / best / 1e6
@@ -64,7 +70,8 @@ def run(levels: int = 7, n_smooth: int = 2, repeats: int = 3):
         "vs_baseline": round(mups / BASELINE_MUPS, 2),
         "detail": {
             "wall_time_s": round(best, 4),
-            "n_cycles": n_cycles,
+            "n_vcycles": n_cycles,
+            "n_outer_f64_steps": n_outer,
             "rel_tol": REL_TOL,
             "final_residual": norm,
             "initial_residual": init,

@@ -1,0 +1,190 @@
+"""Padded-layout f32 correction cycle built on the Pallas kernels.
+
+The performance path for single-chip solves: the f64 outer defect
+iteration (cycles.make_on_device_mixed_solver) keeps its XLA ops, while
+the f32 error-correction V-cycle runs entirely in the lane-padded layout
+of ops.pallas3d — fused-smoother and fused-residual Pallas kernels plus
+separable-matmul transfer operators acting directly on padded arrays, so
+no pad/unpad round-trips inside the cycle.
+
+Everything here computes CORRECTIONS (zero-boundary fields): restriction
+inputs are residuals (zero boundary) and all level boundaries are pinned
+to zero, matching the reference semantics for those inputs
+(injection faces of zero = zero, mg_3d.h:879-958; identity boundary rows
+x zero RHS, mg_3d.h:185).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multigrid_parallel_tpu.cycles import CycleConfig
+from multigrid_parallel_tpu.hierarchy import Hierarchy
+from multigrid_parallel_tpu.ops import coarse as coarse_ops
+from multigrid_parallel_tpu.ops import pallas3d as pk
+from multigrid_parallel_tpu.ops import stencils_3d as ops3
+
+
+@functools.lru_cache(maxsize=None)
+def _restrict_matrices_np(nf: int):
+    """Padded (SJc/SKc x SJf/SKf) 3-tap restriction matrices for the j and
+    k axes; rows outside [1, nc-2] are zero (correction boundaries are
+    zero by construction)."""
+    nc = (nf + 1) // 2
+    _, sjf, skf = pk.padded_shape(nf)
+    _, sjc, skc = pk.padded_shape(nc)
+
+    def build(rows, cols):
+        s = np.zeros((rows, cols))
+        for ic in range(1, nc - 1):
+            s[ic, 2 * ic - 1 : 2 * ic + 2] = (0.25, 0.5, 0.25)
+        return s
+
+    return build(sjc, sjf), build(skc, skf)
+
+
+@functools.lru_cache(maxsize=None)
+def _prolong_matrices_np(nc: int):
+    """Padded linear-interpolation matrices for the j and k axes."""
+    nf = 2 * nc - 1
+    _, sjf, skf = pk.padded_shape(nf)
+    _, sjc, skc = pk.padded_shape(nc)
+
+    def build(rows, cols):
+        p = np.zeros((rows, cols))
+        p[2 * np.arange(nc), np.arange(nc)] = 1.0
+        p[2 * np.arange(nc - 1) + 1, np.arange(nc - 1)] = 0.5
+        p[2 * np.arange(nc - 1) + 1, np.arange(nc - 1) + 1] = 0.5
+        return p
+
+    return build(sjf, sjc), build(skf, skc)
+
+
+def restrict_padded(r: jnp.ndarray, nf: int) -> jnp.ndarray:
+    """(nf, SJf, SKf) residual -> (nc, SJc, SKc) coarse RHS, full
+    weighting on the interior, zero boundary (correction semantics)."""
+    nc = (nf + 1) // 2
+    sj, sk = _restrict_matrices_np(nf)
+    sj = jnp.asarray(sj, r.dtype)
+    sk = jnp.asarray(sk, r.dtype)
+    t = jnp.einsum("bj,ijk->ibk", sj, r, precision=ops3._HIGHEST)
+    t = jnp.einsum("ck,ibk->ibc", sk, t, precision=ops3._HIGHEST)
+    # i axis: plane taps (axis-0 strided slicing is layout-cheap)
+    core = (
+        0.25 * t[1 : nf - 3 : 2] + 0.5 * t[2 : nf - 2 : 2] + 0.25 * t[3 : nf - 1 : 2]
+    )
+    z = jnp.zeros((1,) + core.shape[1:], core.dtype)
+    return jnp.concatenate([z, core, z], axis=0)
+
+
+def prolong_correct_padded(ec: jnp.ndarray, ef: jnp.ndarray, nc: int) -> jnp.ndarray:
+    """ef += trilinear interp of ec, both padded (correction fields)."""
+    pj, pkm = _prolong_matrices_np(nc)
+    pj = jnp.asarray(pj, ec.dtype)
+    pkm = jnp.asarray(pkm, ec.dtype)
+    t = jnp.einsum("jb,ibc->ijc", pj, ec, precision=ops3._HIGHEST)
+    t = jnp.einsum("kc,ijc->ijk", pkm, t, precision=ops3._HIGHEST)
+    even = t[: nc - 1]
+    odd = 0.5 * (t[: nc - 1] + t[1:nc])
+    fine = jnp.stack([even, odd], axis=1).reshape(2 * (nc - 1), *t.shape[1:])
+    fine = jnp.concatenate([fine, t[nc - 1 : nc]], axis=0)
+    return ef + fine
+
+
+def make_padded_correction_cycle(
+    hier32: Hierarchy, cfg: CycleConfig
+) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Build cycle(e_pad, r_pad) -> e_pad': one V-cycle on the correction
+    equation A e = r at the finest level (both padded f32), Pallas
+    smoother/residual + padded matmul transfers; coarse direct solve."""
+    coarse_solve = coarse_ops.make_coarse_solver(
+        hier32.coarse_n, hier32.spacing(0), 3, hier32.dtype, cfg.coarse_method
+    )
+    n_smooth = cfg.n_smooth
+
+    def descend(e, r, level):
+        n = hier32.sizes[level]
+        if level == 0:
+            x = coarse_solve(pk.unpad3(r, n))
+            return pk.pad3(ops3.zero_boundary(x))
+        h = hier32.spacing(level)
+        e = pk.rb_smooth_fused_padded(e, r, h, n_smooth, n, red_first=True)
+        res = pk.residual_fused_padded(e, r, h, n)
+        rc = restrict_padded(res, n)
+        nc = hier32.sizes[level - 1]
+        ec = descend(jnp.zeros_like(rc), rc, level - 1)
+        e = prolong_correct_padded(ec, e, nc)
+        e = pk.rb_smooth_fused_padded(e, r, h, n_smooth, n, red_first=False)
+        return e
+
+    level = hier32.num_levels - 1
+
+    def cycle(e, r):
+        return descend(e, r, level)
+
+    return cycle
+
+
+def make_on_device_mixed_solver_pallas(
+    hier: Hierarchy,
+    cfg: CycleConfig = CycleConfig(),
+    rel_tol: float = 1e-8,
+    max_cycles: int = 40,
+    inner_cycles: int = 2,
+):
+    """run(u0, f) -> (u, norm, n_outer): mixed-precision solve where each
+    f64 defect-correction step runs ``inner_cycles`` consecutive f32
+    V-cycles on the (rescaled) defect system before the f64 update —
+    amortizing the expensive emulated-f64 residual pass over several
+    cheap Pallas f32 cycles. Convergence criterion matches
+    test_mg_3d.c:40 (interior residual vs ||f||_2 whole-cube).
+    """
+    import sys
+
+    # Deep hierarchies trace a long op chain (unrolled levels x unrolled
+    # sweeps x Pallas kernels) — the default Python recursion limit is
+    # too small for the tracer at 7 levels.
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+
+    f32 = jnp.float32
+    hier32 = dataclasses.replace(hier, dtype=f32)
+    inner = make_padded_correction_cycle(hier32, cfg)
+    level = hier.num_levels - 1
+    n = hier.sizes[level]
+    h = hier.spacing(level)
+
+    def body(state):
+        u, r, nrm, it, f = state
+        safe = jnp.maximum(nrm, jnp.asarray(1e-300, dtype=u.dtype))
+        r32 = pk.pad3((r / safe).astype(f32))
+        e = jnp.zeros_like(r32)
+        for _ in range(inner_cycles):  # static unroll
+            e = inner(e, r32)
+        u = u + safe * pk.unpad3(e, n).astype(u.dtype)
+        r = ops3.residual(u, f, h)
+        nrm = jnp.sqrt(jnp.sum(r * r))
+        return u, r, nrm, it + 1, f
+
+    @jax.jit
+    def run(u0, f):
+        init = jnp.sqrt(jnp.sum(f * f))
+        tol = rel_tol * init
+
+        def cond(state):
+            _, _, nrm, it, _ = state
+            return jnp.logical_and(nrm > tol, it < max_cycles)
+
+        r0 = ops3.residual(u0, f, h)
+        n0 = jnp.sqrt(jnp.sum(r0 * r0))
+        u, _, nrm, it, _ = jax.lax.while_loop(
+            cond, body, (u0, r0, n0, jnp.asarray(0), f)
+        )
+        return u, nrm, it
+
+    return run

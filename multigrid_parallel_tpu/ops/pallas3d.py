@@ -1,0 +1,290 @@
+"""Fused Pallas TPU kernels for the memory-bound 3D stencil ops.
+
+The hot loops of the reference (preSmoother/postSmoother, mg_3d.h:640-781;
+calculateResidual, mg_3d.h:794-842) are 7-point stencils at ~8 reads +
+1 write per point — pure HBM bandwidth. The XLA jnp versions materialize
+six rolled copies per half-sweep; these kernels instead stream i-plane
+slabs through VMEM once per *smoothing stage*:
+
+  * ``rb_smooth_fused_padded`` — ALL ``2*n_iter`` red/black half-sweeps
+    of a smoothing stage in ONE pass over HBM (read u,f; write u), using
+    trapezoidal halo fusion: each grid step DMAs its slab plus an
+    ``H = 2*n_iter``-plane halo (clamped at the domain edges) from HBM
+    into VMEM scratch and recomputes the halo planes redundantly; after
+    s half-sweeps the outermost s planes of the slab are stale, so the
+    dependency cone of the slab's own planes stays exact.
+  * ``residual_fused_padded`` — the interior residual in one pass.
+
+Layout: arrays are stored LANE-PADDED as (n, rup(n,8), rup(n,128)) with
+the live cube at [:n, :n, :n] and zeros elsewhere. A 2^k+1-sized cube is
+stored by XLA with exactly this tile padding anyway (T(8,128) layout),
+so explicit padding adds no HBM traffic — it just makes the shape legal
+for Mosaic's manual-DMA alignment rules (minor-dim slices must be
+tile-aligned) and keeps every vector op full-width. ``pad3``/``unpad3``
+convert; the padded V-cycle (cycles_padded.py) stays in this layout
+end-to-end.
+
+Manual DMA (ANY-memory operands + make_async_copy) rather than blocked
+BlockSpecs: overlapping halo windows via blocked specs multi-buffer
+every operand and blow past VMEM. Partial final slabs use the
+shifted-last-block trick (re-writing tail planes with identical
+values). i neighbors are slab-plane slices; j/k neighbors are
+pltpu.roll rotates whose wrapped values land only on masked
+boundary/pad columns. Global-index masks reproduce the interior/parity
+semantics of the C loops exactly (RED = (i+j+k) odd, mg_3d.h:669/693).
+
+Both kernels agree with the jnp reference ops in stencils_3d (the
+correctness oracle, itself golden-tested against loop-level C
+semantics); on non-TPU backends they run in Pallas interpreter mode so
+the same code path is testable on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multigrid_parallel_tpu.ops.stencils_3d import BLACK, RED
+
+_VMEM_LIMIT = 100 * 1024 * 1024  # v5e has >100MB of VMEM; default cap is 16MB
+
+
+def _rup(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def padded_shape(n: int):
+    return (n, _rup(n, 8), _rup(n, 128))
+
+
+def pad3(x: jnp.ndarray) -> jnp.ndarray:
+    """(n,n,n) cube -> (n, rup8, rup128) zero-padded array."""
+    n = x.shape[0]
+    _, sj, sk = padded_shape(n)
+    return jnp.pad(x, ((0, 0), (0, sj - n), (0, sk - n)))
+
+
+def unpad3(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    return x[:, :n, :n]
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _roll(x, shift, axis):
+    # pltpu.roll lowers to lane/sublane rotates on TPU (it requires a
+    # non-negative shift); jnp.roll under the interpreter.
+    if _interpret():
+        return jnp.roll(x, shift, axis)
+    return pltpu.roll(x, shift % x.shape[axis], axis)
+
+
+def _slab_masks(n: int, si: int, sj: int, sk: int, gi0):
+    """Interior + parity masks for an (si, sj, sk) padded slab whose live
+    j/k region is [0, n), at global plane gi0."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (si, 1, 1), 0) + gi0
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, sj, 1), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sk), 2)
+    interior = (
+        (ii >= 1) & (ii <= n - 2) & (jj >= 1) & (jj <= n - 2)
+        & (kk >= 1) & (kk <= n - 2)
+    )
+    parity = (ii + jj + kk) % 2
+    return interior, parity
+
+
+def _nbr_sum(eu):
+    """6-neighbor sum on the slab's inner planes, reference addition
+    order (mg_3d.h:439-441): i-1,i+1,j-1,j+1,k-1,k+1. Rolled wrap values
+    land only on boundary/pad columns, which are never selected."""
+    cen = eu[1:-1]
+    return (
+        eu[:-2]
+        + eu[2:]
+        + _roll(cen, 1, 1)
+        + _roll(cen, -1, 1)
+        + _roll(cen, 1, 2)
+        + _roll(cen, -1, 2)
+    ), cen
+
+
+def _start_dma_pair(u_hbm, f_hbm, eu_ref, ef_ref, sem, start, si):
+    cp_u = pltpu.make_async_copy(u_hbm.at[pl.ds(start, si)], eu_ref, sem.at[0])
+    cp_f = pltpu.make_async_copy(f_hbm.at[pl.ds(start, si)], ef_ref, sem.at[1])
+    cp_u.start()
+    cp_f.start()
+    cp_u.wait()
+    cp_f.wait()
+
+
+def _write_tile(src_ref, out_hbm, tile_ref, sem, src_off, out_start, bi):
+    tile_ref[:] = src_ref[pl.ds(src_off, bi)]
+    cp = pltpu.make_async_copy(tile_ref, out_hbm.at[pl.ds(out_start, bi)], sem.at[0])
+    cp.start()
+    cp.wait()
+
+
+def _pallas_stencil_call(kernel, n, si, sj, sk, bi, dtype):
+    call = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(n, bi),),
+        out_shape=jax.ShapeDtypeStruct((n, sj, sk), dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((si, sj, sk), dtype),
+            pltpu.VMEM((si, sj, sk), dtype),
+            pltpu.VMEM((bi, sj, sk), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+
+    def call_no_x64(*args):
+        # Under jax_enable_x64, static slice bounds inside the kernel
+        # trace as i64 constants, which sends Mosaic's
+        # convert_element_type lowering into unbounded recursion. The
+        # f32 kernels are pure f32/i32 — trace them with x64 off. (f64
+        # kernels — CPU-interpret parity checks only — need x64 on.)
+        if dtype == jnp.float64:
+            return call(*args)
+        with jax.enable_x64(False):
+            return call(*args)
+
+    return call_no_x64
+
+
+def _make_rb_kernel(n, si, sj, sk, bi, h, n_iter, red_first):
+    h2 = h * h
+    hh = 2 * n_iter  # halo planes per side (one per half-sweep)
+    colors = (RED, BLACK) if red_first else (BLACK, RED)
+
+    def kernel(u_hbm, f_hbm, out_hbm, eu_ref, ef_ref, tile_ref, sem):
+        i = pl.program_id(0)
+        start = jnp.clip(i * bi - hh, 0, n - si)
+        _start_dma_pair(u_hbm, f_hbm, eu_ref, ef_ref, sem, start, si)
+
+        eu = eu_ref[:]
+        ef = ef_ref[:]
+        interior, parity = _slab_masks(n, si, sj, sk, start)
+        for _ in range(n_iter):
+            for c in colors:
+                nbr, cen = _nbr_sum(eu)
+                upd = (nbr - h2 * ef[1:-1]) * (1.0 / 6.0)
+                m = interior[1:-1] & (parity[1:-1] == c)
+                mid = jnp.where(m, upd, cen)
+                # stitch back via concatenate (.at[].set would lower to
+                # an unsupported scatter)
+                eu = jnp.concatenate([eu[:1], mid, eu[-1:]], axis=0)
+        eu_ref[:] = eu
+        out_start = jnp.minimum(i * bi, n - bi)
+        _write_tile(eu_ref, out_hbm, tile_ref, sem, out_start - start, out_start, bi)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "n_iter", "n", "red_first", "block_i")
+)
+def rb_smooth_fused_padded(
+    u_pad: jnp.ndarray,
+    f_pad: jnp.ndarray,
+    h: float,
+    n_iter: int,
+    n: int,
+    red_first: bool = True,
+    block_i: int = 8,
+):
+    """n_iter red-black GS iterations on a padded (n, sj, sk) grid in one
+    HBM pass (red first = preSmoother ordering, mg_3d.h:640-709; black
+    first = postSmoother, mg_3d.h:711-781)."""
+    _, sj, sk = u_pad.shape
+    hh = 2 * n_iter
+    bi = block_i
+    if n < bi + 2 * hh or n < 2 * bi:
+        # Tiny level: kernel overhead dominates; use the jnp path.
+        from multigrid_parallel_tpu.ops import stencils_3d
+
+        out = stencils_3d.rb_smooth(
+            unpad3(u_pad, n), unpad3(f_pad, n), h, n_iter, red_first=red_first
+        )
+        return pad3(out)
+    kernel = _make_rb_kernel(n, bi + 2 * hh, sj, sk, bi, h, n_iter, red_first)
+    call = _pallas_stencil_call(kernel, n, bi + 2 * hh, sj, sk, bi, u_pad.dtype)
+    return call(u_pad, f_pad)
+
+
+def _make_residual_kernel(n, si, sj, sk, bi, h):
+    inv_h2 = 1.0 / (h * h)
+
+    def kernel(u_hbm, f_hbm, out_hbm, eu_ref, ef_ref, tile_ref, sem):
+        i = pl.program_id(0)
+        start = jnp.clip(i * bi - 1, 0, n - si)
+        _start_dma_pair(u_hbm, f_hbm, eu_ref, ef_ref, sem, start, si)
+
+        eu = eu_ref[:]
+        interior, _ = _slab_masks(n, si, sj, sk, start)
+        nbr, cen = _nbr_sum(eu)
+        r = ef_ref[1:-1] - inv_h2 * (nbr - 6.0 * cen)
+        # Pad back to slab size: the pad planes are either global boundary
+        # (residual defined 0 there, mg_3d.h:824-825) or halo planes the
+        # output slice never selects.
+        z = jnp.zeros((1, sj, sk), r.dtype)
+        r = jnp.concatenate([z, r, z], axis=0)
+        r = jnp.where(interior, r, jnp.zeros_like(r))
+        ef_ref[:] = r  # reuse the f slab as staging for the ds-read
+        out_start = jnp.minimum(i * bi, n - bi)
+        _write_tile(ef_ref, out_hbm, tile_ref, sem, out_start - start, out_start, bi)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("h", "n", "block_i"))
+def residual_fused_padded(
+    u_pad: jnp.ndarray, f_pad: jnp.ndarray, h: float, n: int, block_i: int = 8
+):
+    """Interior residual on a padded grid, one pass, zero boundary/pads."""
+    _, sj, sk = u_pad.shape
+    bi = block_i
+    if n < bi + 2 or n < 2 * bi:
+        from multigrid_parallel_tpu.ops import stencils_3d
+
+        return pad3(stencils_3d.residual(unpad3(u_pad, n), unpad3(f_pad, n), h))
+    kernel = _make_residual_kernel(n, bi + 2, sj, sk, bi, h)
+    call = _pallas_stencil_call(kernel, n, bi + 2, sj, sk, bi, u_pad.dtype)
+    return call(u_pad, f_pad)
+
+
+# ---------------------------------------------------------- cube wrappers
+# Unpadded-convenience API (pad -> kernel -> unpad), drop-in for the
+# stencils_3d signatures. The padded cycle avoids these round-trips.
+
+
+def rb_smooth_fused(u, f, h: float, n_iter: int, red_first=True, block_i=8):
+    n = u.shape[0]
+    out = rb_smooth_fused_padded(
+        pad3(u), pad3(f), h, n_iter, n, red_first=red_first, block_i=block_i
+    )
+    return unpad3(out, n)
+
+
+def residual_fused(u, f, h: float, block_i: int = 8):
+    n = u.shape[0]
+    return unpad3(residual_fused_padded(pad3(u), pad3(f), h, n, block_i=block_i), n)
+
+
+def residual_norm_fused(u, f, h: float, block_i: int = 8):
+    r = residual_fused(u, f, h, block_i=block_i)
+    return jnp.sqrt(jnp.sum(r * r))

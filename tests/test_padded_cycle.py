@@ -1,0 +1,79 @@
+"""Padded Pallas-based correction cycle vs the jnp f32 cycle, and the
+padded mixed solver vs the analytic oracle (CPU interpreter mode)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multigrid_parallel_tpu import CycleConfig, Hierarchy, poisson_3d_quadratic
+from multigrid_parallel_tpu import cycles_padded as cp
+from multigrid_parallel_tpu.cycles import _descend, setup_problem
+from multigrid_parallel_tpu.ops import coarse as coarse_ops
+from multigrid_parallel_tpu.ops import pallas3d as pk
+from multigrid_parallel_tpu.ops import stencils_3d as ops3
+
+
+def test_restrict_padded_matches_unpadded():
+    nf = 17
+    rng = np.random.default_rng(5)
+    r = np.zeros((nf, nf, nf), np.float64)
+    r[1:-1, 1:-1, 1:-1] = rng.standard_normal((nf - 2,) * 3)
+    want = np.asarray(ops3.restrict_full_weighting(jnp.asarray(r)))
+    got_p = cp.restrict_padded(pk.pad3(jnp.asarray(r)), nf)
+    got = np.asarray(pk.unpad3(got_p, 9))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-13)
+    # pad region stays zero
+    full = np.asarray(got_p)
+    assert np.all(full[:, 9:, :] == 0) and np.all(full[:, :, 9:] == 0)
+
+
+def test_prolong_padded_matches_unpadded():
+    nc, nf = 9, 17
+    rng = np.random.default_rng(6)
+    ec = np.zeros((nc, nc, nc))
+    ec[1:-1, 1:-1, 1:-1] = rng.standard_normal((nc - 2,) * 3)
+    ef = rng.standard_normal((nf, nf, nf))
+    want = np.asarray(ops3.prolong_correct(jnp.asarray(ec), jnp.asarray(ef)))
+    got_p = cp.prolong_correct_padded(pk.pad3(jnp.asarray(ec)), pk.pad3(jnp.asarray(ef)), nc)
+    np.testing.assert_allclose(np.asarray(pk.unpad3(got_p, nf)), want, rtol=0, atol=1e-13)
+
+
+def test_padded_correction_cycle_matches_jnp_cycle():
+    hier32 = Hierarchy(ndim=3, coarse_n=5, num_levels=3, dtype=jnp.float32)
+    cfg = CycleConfig(n_smooth=2)
+    n = hier32.finest_n
+    rng = np.random.default_rng(7)
+    r = np.zeros((n, n, n), np.float32)
+    r[1:-1, 1:-1, 1:-1] = rng.standard_normal((n - 2,) * 3).astype(np.float32)
+    rj = jnp.asarray(r)
+
+    # jnp f32 correction cycle (zero init)
+    coarse32 = coarse_ops.make_coarse_solver(5, hier32.spacing(0), 3, jnp.float32, "lu")
+    want = _descend(
+        ops3, hier32, cfg, coarse32, jnp.zeros_like(rj), rj, 2, correction=True
+    )
+
+    cyc = cp.make_padded_correction_cycle(hier32, cfg)
+    got_p = cyc(jnp.zeros(pk.padded_shape(n), jnp.float32), pk.pad3(rj))
+    np.testing.assert_allclose(
+        np.asarray(pk.unpad3(got_p, n)), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_padded_mixed_solver_converges_to_oracle():
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)  # 33^3, f64 outer
+    cfg = CycleConfig(n_smooth=2)
+    run = cp.make_on_device_mixed_solver_pallas(hier, cfg, rel_tol=1e-8, inner_cycles=2)
+    u0, f = setup_problem(poisson_3d_quadratic(), hier)
+    u, norm, n_outer = run(u0, f)
+    init = float(jnp.sqrt(jnp.sum(f * f)))
+    assert float(norm) <= 1e-8 * init
+    assert int(n_outer) <= 10, int(n_outer)  # 2 inner cycles per outer step
+    from multigrid_parallel_tpu.hierarchy import evaluate_on_grid
+
+    exact = evaluate_on_grid(poisson_3d_quadratic().analytic, hier, 3)
+    err = float(jnp.sqrt(jnp.sum((u - exact) ** 2)))
+    assert err < 2e-8, err
