@@ -42,6 +42,12 @@ def main(argv=None):
                    help="write the error field as legacy VTK (postprocess.h)")
     p.add_argument("--profile", action="store_true",
                    help="per-level per-stage timing table (timing_info.h)")
+    p.add_argument("--study", action="store_true",
+                   help="standalone smoother convergence study "
+                        "(test_rb_gs_3d.c / test_gs_3d.c)")
+    p.add_argument("--electrospray", action="store_true",
+                   help="mixed-BC electrospray potential problem "
+                        "(mg_3d_bkup.c)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -61,6 +67,41 @@ def main(argv=None):
         solve,
         solve_mixed,
     )
+
+    if args.study:
+        from multigrid_parallel_tpu.studies import smoother_study
+
+        res = smoother_study(
+            num_levels=args.num_levels, coarse_n=args.coarse_n,
+            smoother=args.smoother, max_iters=5000, rel_tol=args.tol,
+            verbose=not args.quiet,
+        )
+        print(
+            f"iters: {res.n_iters}  converged: {res.converged}  "
+            f"final ResidRatio: {res.final_ratio:.6f}  "
+            f"wall: {res.wall_time_s:.3f} s"
+        )
+        return
+
+    if args.electrospray:
+        from multigrid_parallel_tpu.hierarchy import Hierarchy as _H
+        from multigrid_parallel_tpu.mixed_bc import MixedBCSolver
+        from multigrid_parallel_tpu.models.electrospray import electrospray_problem
+
+        prob = electrospray_problem()
+        hier = _H(ndim=3, coarse_n=args.coarse_n, num_levels=args.num_levels,
+                  length=prob.length)
+        ms = MixedBCSolver(prob, hier, n_smooth=args.gs_iter)
+        t0 = time.perf_counter()
+        u, norms, init = ms.solve(rel_tol=args.tol, max_cycles=args.max_cycles,
+                                  verbose=not args.quiet)
+        print(f"cycles: {len(norms)}   wall time: {time.perf_counter() - t0:.4f} s")
+        if args.vtk:
+            from multigrid_parallel_tpu.utils import write_vtk
+
+            write_vtk(args.vtk, u, hier.finest_spacing)
+            print(f"wrote {args.vtk}")
+        return
 
     problem = {
         "quadratic": poisson_3d_quadratic,

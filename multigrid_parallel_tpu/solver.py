@@ -157,6 +157,32 @@ class MultigridSolver:
                 break
         return norms
 
+    def save(self, path: str):
+        """Checkpoint the solver state (resumes bit-exactly; the
+        reference has no such capability — SURVEY.md §5)."""
+        from multigrid_parallel_tpu.utils.checkpoint import save_state
+
+        save_state(path, self.u, self.f, self.hier, self.cfg)
+
+    @classmethod
+    def restore(cls, path: str, problem: Optional[Problem] = None):
+        from multigrid_parallel_tpu.utils.checkpoint import load_state
+
+        u, f, hier, cfg, _ = load_state(path)
+        s = cls(
+            hier.coarse_n,
+            hier.num_levels,
+            cfg.n_smooth if cfg else 2,
+            problem=problem,
+            length=hier.length,
+            dtype=hier.dtype,
+            smoother=cfg.smoother if cfg else "rb",
+            coarse_method=cfg.coarse_method if cfg else "lu",
+        )
+        s.u, s.f = u, f
+        s._bc_done = True
+        return s
+
     def error_vs_analytic(self) -> Optional[float]:
         """||u - analytic||_2 over the whole cube (test_mg_3d.c:79-97)."""
         if self.problem.analytic is None:

@@ -1,0 +1,56 @@
+"""Checkpoint/resume and standalone smoother-study tests."""
+
+import numpy as np
+import pytest
+
+from multigrid_parallel_tpu import MultigridSolver
+from multigrid_parallel_tpu.studies import smoother_study
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    s = MultigridSolver(coarse_n=5, num_levels=3, gs_iter=2)
+    s.setup_boundary_conditions()
+    for _ in range(3):
+        s.lin_solve()
+    path = str(tmp_path / "state.npz")
+    s.save(path)
+
+    # continue the original
+    norms_orig = [s.lin_solve() for _ in range(3)]
+
+    # resume from checkpoint and continue
+    r = MultigridSolver.restore(path)
+    norms_resumed = [r.lin_solve() for _ in range(3)]
+
+    np.testing.assert_allclose(norms_resumed, norms_orig, rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(r.u), np.asarray(s.u))
+
+
+def test_smoother_study_rb_ratio_fingerprint():
+    # Standalone RB-GS study (test_rb_gs_3d.c): the per-iteration ratio
+    # climbs toward the smoother's asymptotic value (~0.98 at ~50^3;
+    # smaller at 17^3 since rho ~ 1 - O(h^2)).
+    res = smoother_study(num_levels=3, rel_tol=1e-6, max_iters=800)
+    assert res.converged
+    assert 0.80 < res.final_ratio < 1.0, res.final_ratio
+    # monotone late-stage ratios
+    tail = res.residual_norms[-5:]
+    ratios = [b / a for a, b in zip(tail, tail[1:])]
+    assert max(ratios) - min(ratios) < 0.01, ratios
+
+
+def test_smoother_study_rb_converges_slower_than_multigrid():
+    from multigrid_parallel_tpu import CycleConfig, Hierarchy, poisson_3d_quadratic, solve
+
+    res = smoother_study(num_levels=3, rel_tol=1e-6, max_iters=800)
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=3)
+    mg = solve(poisson_3d_quadratic(), hier, CycleConfig(n_smooth=2), rel_tol=1e-6)
+    assert mg.n_cycles * 10 < res.n_iters  # multigrid wins by >10x
+
+
+def test_smoother_study_jacobi_slower_than_rb():
+    rb = smoother_study(num_levels=2, smoother="rb", rel_tol=1e-6, max_iters=2000)
+    ja = smoother_study(num_levels=2, smoother="jacobi", rel_tol=1e-6, max_iters=2000)
+    assert rb.converged
+    # weighted Jacobi needs more iterations than RB-GS
+    assert ja.n_iters > rb.n_iters
