@@ -114,13 +114,13 @@ def make_padded_correction_cycle(
             x = coarse_solve(pk.unpad3(r, n))
             return pk.pad3(ops3.zero_boundary(x))
         h = hier32.spacing(level)
-        e = pk.rb_smooth_fused_padded(e, r, h, n_smooth, n, red_first=True)
+        e = pk.rb_smooth_fused_pipelined(e, r, h, n_smooth, n, red_first=True)
         res = pk.residual_fused_padded(e, r, h, n)
         rc = restrict_padded(res, n)
         nc = hier32.sizes[level - 1]
         ec = descend(jnp.zeros_like(rc), rc, level - 1)
         e = prolong_correct_padded(ec, e, nc)
-        e = pk.rb_smooth_fused_padded(e, r, h, n_smooth, n, red_first=False)
+        e = pk.rb_smooth_fused_pipelined(e, r, h, n_smooth, n, red_first=False)
         return e
 
     level = hier32.num_levels - 1

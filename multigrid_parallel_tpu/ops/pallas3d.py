@@ -195,6 +195,143 @@ def _make_rb_kernel(n, si, sj, sk, bi, h, n_iter, red_first):
     return kernel
 
 
+def _make_rb_kernel_pipelined(n, si, sj, sk, bi, h, n_iter, red_first, nb):
+    """Double-buffered variant: in-DMA for slab i+1 and out-DMA for tile
+    i-1 overlap with the compute of slab i (guide: Patterns/Double
+    Buffering). Two slab/tile slots ping-pong across the sequential
+    ("arbitrary") grid; scratch persists between grid steps on TPU."""
+    h2 = h * h
+    hh = 2 * n_iter
+    colors = (RED, BLACK) if red_first else (BLACK, RED)
+
+    def in_dma(hbm, ref2, sem2, slot, blk):
+        start = jnp.clip(blk * bi - hh, 0, n - si)
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(start, si)], ref2.at[slot], sem2.at[slot]
+        )
+
+    def out_dma(out_hbm, tile2, sem2, slot, blk):
+        out_start = jnp.minimum(blk * bi, n - bi)
+        return pltpu.make_async_copy(
+            tile2.at[slot], out_hbm.at[pl.ds(out_start, bi)], sem2.at[slot]
+        )
+
+    def kernel(u_hbm, f_hbm, out_hbm, eu2, ef2, tile2, sem_u, sem_f, sem_o):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            in_dma(u_hbm, eu2, sem_u, slot, i).start()
+            in_dma(f_hbm, ef2, sem_f, slot, i).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            in_dma(u_hbm, eu2, sem_u, nslot, i + 1).start()
+            in_dma(f_hbm, ef2, sem_f, nslot, i + 1).start()
+
+        in_dma(u_hbm, eu2, sem_u, slot, i).wait()
+        in_dma(f_hbm, ef2, sem_f, slot, i).wait()
+
+        start = jnp.clip(i * bi - hh, 0, n - si)
+        eu = eu2[slot]
+        ef = ef2[slot]
+        interior, parity = _slab_masks(n, si, sj, sk, start)
+        for _ in range(n_iter):
+            for c in colors:
+                nbr, cen = _nbr_sum(eu)
+                upd = (nbr - h2 * ef[1:-1]) * (1.0 / 6.0)
+                m = interior[1:-1] & (parity[1:-1] == c)
+                mid = jnp.where(m, upd, cen)
+                eu = jnp.concatenate([eu[:1], mid, eu[-1:]], axis=0)
+
+        # tile slot reused from block i-2: its out-DMA must have landed.
+        @pl.when(i >= 2)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i - 2).wait()
+
+        eu2[slot, :] = eu
+        out_start = jnp.minimum(i * bi, n - bi)
+        tile2[slot, :] = eu2[slot, pl.ds(out_start - start, bi)]
+        out_dma(out_hbm, tile2, sem_o, slot, i).start()
+
+        # drain at the end
+        @pl.when(i == nb - 1)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i).wait()
+
+        @pl.when(jnp.logical_and(i == nb - 1, nb >= 2))
+        def _():
+            out_dma(out_hbm, tile2, sem_o, nslot, i - 1).wait()
+
+    return kernel
+
+
+def _pallas_stencil_call_pipelined(kernel, n, si, sj, sk, bi, dtype):
+    call = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(n, bi),),
+        out_shape=jax.ShapeDtypeStruct((n, sj, sk), dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, si, sj, sk), dtype),
+            pltpu.VMEM((2, si, sj, sk), dtype),
+            pltpu.VMEM((2, bi, sj, sk), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+
+    def call_no_x64(*args):
+        if dtype == jnp.float64:
+            return call(*args)
+        with jax.enable_x64(False):
+            return call(*args)
+
+    return call_no_x64
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "n_iter", "n", "red_first", "block_i")
+)
+def rb_smooth_fused_pipelined(
+    u_pad: jnp.ndarray,
+    f_pad: jnp.ndarray,
+    h: float,
+    n_iter: int,
+    n: int,
+    red_first: bool = True,
+    block_i: int = 8,
+):
+    """Pipelined (double-buffered) variant of rb_smooth_fused_padded."""
+    _, sj, sk = u_pad.shape
+    hh = 2 * n_iter
+    bi = block_i
+    nb = pl.cdiv(n, bi)
+    if n < bi + 2 * hh or n < 2 * bi or nb < 2:
+        return rb_smooth_fused_padded(
+            u_pad, f_pad, h, n_iter, n, red_first=red_first, block_i=block_i
+        )
+    kernel = _make_rb_kernel_pipelined(
+        n, bi + 2 * hh, sj, sk, bi, h, n_iter, red_first, nb
+    )
+    call = _pallas_stencil_call_pipelined(
+        kernel, n, bi + 2 * hh, sj, sk, bi, u_pad.dtype
+    )
+    return call(u_pad, f_pad)
+
+
 @functools.partial(
     jax.jit, static_argnames=("h", "n_iter", "n", "red_first", "block_i")
 )
