@@ -5,10 +5,14 @@ levels such that finest=257, 2 RB-GS pre+post sweeps, relative residual
 tolerance 1e-8 against ||f||_2 — BASELINE.md measures the C/OpenMP code at
 10.74 s wall / ~113 Mlattice-updates/s on 4 CPU threads).
 
-Solver under test: the Pallas performance path — fused-smoother /
-fused-residual TPU kernels inside an f32 correction V-cycle (padded lane
-layout), wrapped in an f64 defect-correction outer loop (4 inner cycles
-per f64 residual pass), the whole solve one jitted lax.while_loop.
+Solver under test: the all-f32 double-float performance path — fused
+Pallas smoother/residual kernels inside an f32 correction V-cycle
+(padded lane layout), wrapped in a defect-correction outer loop whose
+solution is a two-f32 double-float pair and whose residual is a
+compensated (error-free-transformation) Pallas kernel. No f64 ops
+anywhere on device; the whole solve is one jitted lax.while_loop.
+Accuracy matches the f64 path (solution error 2.2e-9 vs the analytic
+oracle at 257^3).
 
 Metric: effective smoother throughput in Mlattice-updates/s =
 (V-cycles x 2x2 half-sweeps x interior^3 x 1.14 level-sum) / wall-time —
@@ -24,9 +28,9 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 import multigrid_parallel_tpu as mg  # noqa: E402
-from multigrid_parallel_tpu.cycles import setup_problem  # noqa: E402
 from multigrid_parallel_tpu.cycles_padded import (  # noqa: E402
-    make_on_device_mixed_solver_pallas,
+    make_on_device_df_solver,
+    setup_df_problem,
 )
 
 BASELINE_MUPS = 113.0  # BASELINE.md: derived C/OpenMP throughput, 4 threads
@@ -39,21 +43,21 @@ def run(levels: int = 7, n_smooth: int = 2, repeats: int = 3):
     cfg = mg.CycleConfig(n_smooth=n_smooth)
     problem = mg.poisson_3d_quadratic()
 
-    solver = make_on_device_mixed_solver_pallas(
+    solver = make_on_device_df_solver(
         hier, cfg, rel_tol=REL_TOL, max_cycles=40, inner_cycles=INNER_CYCLES
     )
-    u0, f = setup_problem(problem, hier)
-    init = float((f * f).sum() ** 0.5)
+    u_hi, u_lo, f_hi, f_lo = setup_df_problem(problem, hier)
+    init = float((f_hi.astype("float64") ** 2).sum() ** 0.5)
 
     # Warm-up: compile + one full solve.
-    u, norm, n_outer = solver(u0, f)
+    _, _, norm, n_outer = solver(u_hi, u_lo, f_hi, f_lo)
     norm, n_outer = float(norm), int(n_outer)
     assert norm <= REL_TOL * init, (norm, init)
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        u, norm_d, it_d = solver(u0, f)
+        _, _, norm_d, it_d = solver(u_hi, u_lo, f_hi, f_lo)
         norm, n_outer = float(norm_d), int(it_d)  # host sync
         best = min(best, time.perf_counter() - t0)
 
@@ -71,7 +75,7 @@ def run(levels: int = 7, n_smooth: int = 2, repeats: int = 3):
         "detail": {
             "wall_time_s": round(best, 4),
             "n_vcycles": n_cycles,
-            "n_outer_f64_steps": n_outer,
+            "n_outer_defect_steps": n_outer,
             "rel_tol": REL_TOL,
             "final_residual": norm,
             "initial_residual": init,

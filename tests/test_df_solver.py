@@ -1,0 +1,102 @@
+"""Double-float (all-f32) solver tests: EFT residual accuracy and full
+solves against the analytic oracle (CPU interpreter mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multigrid_parallel_tpu import CycleConfig, Hierarchy, poisson_3d_quadratic
+from multigrid_parallel_tpu.cycles_padded import (
+    make_on_device_df_solver,
+    setup_df_problem,
+)
+from multigrid_parallel_tpu.hierarchy import evaluate_on_grid
+from multigrid_parallel_tpu.ops import pallas3d as pk
+from multigrid_parallel_tpu.ops import stencils_3d as ops3
+
+
+def test_df_residual_matches_f64():
+    n = 17
+    h = 1.0 / (n - 1)
+    c = np.arange(n) * h
+    x, y, z = np.meshgrid(c, c, c, indexing="ij")
+    u64 = jnp.asarray(x * x - 2 * y * y + z * z
+                      + 1e-4 * np.sin(9 * x) * np.cos(7 * y) * np.sin(5 * z))
+    f64 = jnp.asarray(np.sin(x + y + z))
+    want = np.asarray(ops3.residual(u64, f64, h))
+
+    u_hi, u_lo = pk.df_split(u64, pad=True)
+    f_hi, f_lo = pk.df_split(f64, pad=True)
+    got_p = pk.residual_df_fused_padded(u_hi, u_lo, f_hi, f_lo, h, n, block_i=4)
+    got = np.asarray(pk.unpad3(got_p, n)).astype(np.float64)
+
+    err = np.abs(got - want)
+    # r_hi is one f32, so its error is ~ulp-RELATIVE to |r| — unlike
+    # naive f32 whose cancellation error is an ABSOLUTE floor that does
+    # not shrink as the solve converges.
+    assert err.max() < 2e-7 * np.abs(want).max() + 1e-10, err.max()
+
+
+def test_df_residual_error_scales_with_residual():
+    # near convergence the true residual is tiny; the df evaluation must
+    # track it while naive f32 is stuck at its cancellation floor.
+    n = 17
+    h = 1.0 / (n - 1)
+    c = np.arange(n) * h
+    x, y, z = np.meshgrid(c, c, c, indexing="ij")
+    # harmonic exact discrete solution, scaled by 1/3 so the values are
+    # NOT exactly f32-representable (otherwise naive f32 sees no error)
+    u64 = jnp.asarray((x * x - 2 * y * y + z * z) / 3.0)
+    pert = np.zeros((n, n, n))
+    pert[8, 8, 8] = 1e-9
+    u64 = u64 + jnp.asarray(pert)
+    f64 = jnp.zeros((n, n, n), jnp.float64)
+    want = np.asarray(ops3.residual(u64, f64, h))
+    true_norm = np.sqrt((want**2).sum())
+    assert true_norm < 1e-5  # genuinely tiny residual
+
+    u_hi, u_lo = pk.df_split(u64, pad=True)
+    f_hi, f_lo = pk.df_split(f64, pad=True)
+    got = np.asarray(
+        pk.unpad3(pk.residual_df_fused_padded(u_hi, u_lo, f_hi, f_lo, h, n,
+                                              block_i=4), n)
+    ).astype(np.float64)
+    df_norm = np.sqrt((got**2).sum())
+    naive = np.asarray(
+        ops3.residual(u64.astype(jnp.float32), f64.astype(jnp.float32), h)
+    ).astype(np.float64)
+    naive_norm = np.sqrt((naive**2).sum())
+    # df norm tracks the true norm to ~1e-3; naive f32 is orders off
+    assert abs(df_norm - true_norm) < 2e-3 * true_norm + 1e-12, (df_norm, true_norm)
+    assert naive_norm > 100 * true_norm, (naive_norm, true_norm)
+
+
+def test_df_split_add_roundtrip():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(1000) * 100)
+    hi, lo = pk.df_split(x)
+    # double-float pair resolves ~2^-48 relative (lo itself is f32-rounded)
+    np.testing.assert_allclose(np.asarray(pk.df_to_f64(hi, lo)), np.asarray(x),
+                               rtol=5e-15)
+    # df_add keeps ~2^-48 accuracy
+    d = jnp.asarray(rng.standard_normal(1000).astype(np.float32) * 1e-5)
+    hi2, lo2 = pk.df_add(hi, lo, d)
+    want = np.asarray(x) + np.asarray(d, dtype=np.float64)
+    got = np.asarray(pk.df_to_f64(hi2, lo2))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-12)
+
+
+def test_df_solver_converges_to_oracle():
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4, dtype=jnp.float64)  # 33^3
+    cfg = CycleConfig(n_smooth=2)
+    run = make_on_device_df_solver(hier, cfg, rel_tol=1e-8, inner_cycles=2)
+    u_hi, u_lo, f_hi, f_lo = setup_df_problem(poisson_3d_quadratic(), hier)
+    u_hi, u_lo, norm, n_outer = run(u_hi, u_lo, f_hi, f_lo)
+    init = float(jnp.sqrt(jnp.sum(f_hi * f_hi)))
+    assert float(norm) <= 1e-8 * init, (float(norm), init)
+    assert int(n_outer) <= 10
+
+    u = pk.df_to_f64(pk.unpad3(u_hi, 33), pk.unpad3(u_lo, 33))
+    exact = evaluate_on_grid(poisson_3d_quadratic().analytic, hier, 3)
+    err = float(jnp.sqrt(jnp.sum((u - exact) ** 2)))
+    assert err < 5e-8, err
