@@ -36,6 +36,11 @@ from multigrid_parallel_tpu.cycles import (
 )
 from multigrid_parallel_tpu.solver import MultigridSolver
 
+# Heavier optional entry points live in submodules (imported lazily by
+# users): cycles_padded (Pallas performance solvers), parallel.sharded
+# (multi-chip), mixed_bc (electrospray), studies (smoother studies),
+# utils.checkpoint (save/restore).
+
 __version__ = "0.1.0"
 
 __all__ = [

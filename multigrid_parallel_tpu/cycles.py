@@ -210,7 +210,6 @@ def solve(
         hier.coarse_n, hier.spacing(0), hier.ndim, hier.dtype, cfg.coarse_method
     )
     u, f = setup_problem(problem, hier)
-    init_resid = float(jnp.sqrt(jnp.sum(f * f)))
 
     cycle = jax.jit(lambda u, f: v_cycle(u, f, hier, coarse_solve, cfg))
     if use_fmg:
@@ -218,37 +217,7 @@ def solve(
         fmg = jax.jit(lambda f: fmg_initialize(f, hier, coarse_solve, cfg, bc_fn))
         u = fmg(f)
 
-    t0 = time.perf_counter()
-    norms: List[float] = []
-    converged = False
-    old = init_resid
-    for it in range(max_cycles):
-        u, norm = cycle(u, f)
-        n = float(norm)
-        norms.append(n)
-        if verbose:
-            print(f"cycle {it:3d}  resid {n:.6e}  ratio {n / old:.4f}")
-        old = n
-        if n <= rel_tol * init_resid:
-            converged = True
-            break
-    u.block_until_ready()
-    wall = time.perf_counter() - t0
-
-    err = None
-    if problem.analytic is not None:
-        exact = evaluate_on_grid(problem.analytic, hier, hier.num_levels - 1)
-        err = float(jnp.sqrt(jnp.sum((u - exact) ** 2)))
-
-    return SolveResult(
-        u=u,
-        residual_norms=norms,
-        initial_residual=init_resid,
-        n_cycles=len(norms),
-        converged=converged,
-        error_norm=err,
-        wall_time_s=wall,
-    )
+    return _host_solve_loop(problem, hier, cycle, u, f, rel_tol, max_cycles, verbose)
 
 
 def make_mixed_cycle(hier: Hierarchy, cfg: CycleConfig = CycleConfig()):
@@ -293,17 +262,18 @@ def make_mixed_cycle(hier: Hierarchy, cfg: CycleConfig = CycleConfig()):
     return cycle
 
 
-def solve_mixed(
+def _host_solve_loop(
     problem: Problem,
     hier: Hierarchy,
-    cfg: CycleConfig = CycleConfig(),
-    rel_tol: float = 1e-8,
-    max_cycles: int = 100,
-    verbose: bool = False,
+    cycle,
+    u,
+    f,
+    rel_tol: float,
+    max_cycles: int,
+    verbose: bool,
 ) -> SolveResult:
-    """Host-loop driver around the mixed-precision cycle (f64 hierarchy)."""
-    cycle = jax.jit(make_mixed_cycle(hier, cfg))
-    u, f = setup_problem(problem, hier)
+    """Shared host convergence loop (the test_mg_3d.c:37-67 driver shape):
+    one scalar sync per cycle, per-iteration residual/ratio printing."""
     init_resid = float(jnp.sqrt(jnp.sum(f * f)))
     t0 = time.perf_counter()
     norms: List[float] = []
@@ -334,6 +304,20 @@ def solve_mixed(
         error_norm=err,
         wall_time_s=wall,
     )
+
+
+def solve_mixed(
+    problem: Problem,
+    hier: Hierarchy,
+    cfg: CycleConfig = CycleConfig(),
+    rel_tol: float = 1e-8,
+    max_cycles: int = 100,
+    verbose: bool = False,
+) -> SolveResult:
+    """Host-loop driver around the mixed-precision cycle (f64 hierarchy)."""
+    cycle = jax.jit(make_mixed_cycle(hier, cfg))
+    u, f = setup_problem(problem, hier)
+    return _host_solve_loop(problem, hier, cycle, u, f, rel_tol, max_cycles, verbose)
 
 
 def make_on_device_mixed_solver(

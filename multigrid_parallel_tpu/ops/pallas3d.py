@@ -51,6 +51,25 @@ from jax.experimental.pallas import tpu as pltpu
 from multigrid_parallel_tpu.ops.stencils_3d import BLACK, RED
 
 _VMEM_LIMIT = 100 * 1024 * 1024  # v5e has >100MB of VMEM; default cap is 16MB
+_VMEM_BUDGET = 72 * 1024 * 1024  # planning budget (leave room for temps)
+
+
+def _auto_block_i(n, sj, sk, halo, itemsize, pipelined, requested):
+    """Largest block_i whose estimated VMEM footprint fits the budget.
+
+    Estimate: (slots x 2 slabs) + (slots x tile) + ~3 slab-sized compute
+    temporaries, slab = (bi + 2*halo) planes of sj*sk elements. Returns 0
+    if even bi=2 does not fit (caller falls back to the XLA path)."""
+    plane = sj * sk * itemsize
+    slots = 2 if pipelined else 1
+    for bi in (requested, 16, 8, 4, 2):
+        if bi > requested:
+            continue
+        slab = (bi + 2 * halo) * plane
+        est = slots * 2 * slab + slots * bi * plane + 3 * slab
+        if est <= _VMEM_BUDGET and n >= bi + 2 * halo and n >= 2 * bi:
+            return bi
+    return 0
 
 
 def _rup(x: int, m: int) -> int:
@@ -314,12 +333,14 @@ def rb_smooth_fused_pipelined(
     red_first: bool = True,
     block_i: int = 8,
 ):
-    """Pipelined (double-buffered) variant of rb_smooth_fused_padded."""
+    """Pipelined (double-buffered) variant of rb_smooth_fused_padded.
+    Downgrades to the single-buffered kernel (then the jnp path) when the
+    double-buffered footprint exceeds VMEM (large planes)."""
     _, sj, sk = u_pad.shape
     hh = 2 * n_iter
-    bi = block_i
-    nb = pl.cdiv(n, bi)
-    if n < bi + 2 * hh or n < 2 * bi or nb < 2:
+    bi = _auto_block_i(n, sj, sk, hh, u_pad.dtype.itemsize, True, block_i)
+    nb = pl.cdiv(n, bi) if bi else 0
+    if bi == 0 or nb < 2:
         return rb_smooth_fused_padded(
             u_pad, f_pad, h, n_iter, n, red_first=red_first, block_i=block_i
         )
@@ -349,9 +370,9 @@ def rb_smooth_fused_padded(
     first = postSmoother, mg_3d.h:711-781)."""
     _, sj, sk = u_pad.shape
     hh = 2 * n_iter
-    bi = block_i
-    if n < bi + 2 * hh or n < 2 * bi:
-        # Tiny level: kernel overhead dominates; use the jnp path.
+    bi = _auto_block_i(n, sj, sk, hh, u_pad.dtype.itemsize, False, block_i)
+    if bi == 0:
+        # Tiny level (or plane too large for VMEM): use the jnp path.
         from multigrid_parallel_tpu.ops import stencils_3d
 
         out = stencils_3d.rb_smooth(
@@ -394,8 +415,8 @@ def residual_fused_padded(
 ):
     """Interior residual on a padded grid, one pass, zero boundary/pads."""
     _, sj, sk = u_pad.shape
-    bi = block_i
-    if n < bi + 2 or n < 2 * bi:
+    bi = _auto_block_i(n, sj, sk, 1, u_pad.dtype.itemsize, False, block_i)
+    if bi == 0:
         from multigrid_parallel_tpu.ops import stencils_3d
 
         return pad3(stencils_3d.residual(unpad3(u_pad, n), unpad3(f_pad, n), h))
@@ -481,10 +502,11 @@ def residual_df_fused_padded(
 ):
     """Fused double-float residual on padded f32 arrays -> r_hi (padded)."""
     _, sj, sk = u_hi.shape
-    bi = block_i
+    # 4 input slabs (hi/lo x u/f): halve the budget via a doubled halo arg
+    bi = _auto_block_i(n, sj, sk, 2, 2 * u_hi.dtype.itemsize, False, block_i)
     si = bi + 2
-    if n < si or n < 2 * bi:
-        # Tiny level: XLA elementwise EFT path.
+    if bi == 0:
+        # Tiny level (or plane too large): XLA elementwise EFT path.
         return _residual_df_jnp(u_hi, u_lo, f_hi, f_lo, h, n)
     kernel = _make_residual_df_kernel(n, si, sj, sk, bi, h)
     call = pl.pallas_call(
