@@ -83,17 +83,25 @@ def _descend(
     if level == 0:
         # Coarsest: direct solve (mg_3d.h:1262-1277). The reference zeroes
         # v first then LU-solves into it; a direct solve needs no init.
-        x = coarse_solve(f)
+        with jax.named_scope("L0/direct_solve"):
+            x = coarse_solve(f)
         return ops.zero_boundary(x) if correction else x
     h = hier.spacing(level)
-    u = _smooth(ops, cfg, u, f, h, red_first=True)  # preSmoother
-    r = ops.residual(u, f, h)  # calculateResidual
-    fc = ops.restrict_full_weighting(r)  # restrictResidual
+    # named scopes mirror the reference's 7 timing stages (mg_3d.h:136-137)
+    # so jax.profiler traces group per level/stage.
+    with jax.named_scope(f"L{level}/Smoother1"):
+        u = _smooth(ops, cfg, u, f, h, red_first=True)  # preSmoother
+    with jax.named_scope(f"L{level}/CalcResidual1"):
+        r = ops.residual(u, f, h)  # calculateResidual
+    with jax.named_scope(f"L{level}/Restrict"):
+        fc = ops.restrict_full_weighting(r)  # restrictResidual
     # Recurse with zero initial guess (the mg_3d.h:1254-1260 memset).
     ec0 = jnp.zeros((hier.sizes[level - 1],) * hier.ndim, dtype=u.dtype)
     ec = _descend(ops, hier, cfg, coarse_solve, ec0, fc, level - 1, correction=True)
-    u = ops.prolong_correct(ec, u)  # prolongateAndCorrectError
-    u = _smooth(ops, cfg, u, f, h, red_first=False)  # postSmoother
+    with jax.named_scope(f"L{level}/ProlongateCorrect"):
+        u = ops.prolong_correct(ec, u)  # prolongateAndCorrectError
+    with jax.named_scope(f"L{level}/Smoother2"):
+        u = _smooth(ops, cfg, u, f, h, red_first=False)  # postSmoother
     return u
 
 

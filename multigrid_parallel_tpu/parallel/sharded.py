@@ -390,6 +390,90 @@ def make_sharded_mixed_cycle(
     return jax.jit(mapped), plan
 
 
+def make_sharded_df_cycle(
+    hier: Hierarchy,
+    cfg: CycleConfig,
+    mesh: Mesh,
+    plan: Optional[ShardPlan] = None,
+) -> Tuple[Callable, ShardPlan]:
+    """Sharded all-f32 double-float cycle: like make_sharded_mixed_cycle
+    but with no f64 anywhere — the solution is a (hi, lo) f32 pair and
+    the outer residual is the compensated EFT evaluation (see
+    ops.pallas3d for the numerics; here the XLA elementwise form, which
+    shard_map partitions like any other stencil).
+
+    cycle((u_hi, u_lo), (f_hi, f_lo)) -> ((u_hi', u_lo'), norm).
+    """
+    from multigrid_parallel_tpu.ops import pallas3d as pk
+
+    axis = mesh.axis_names[0]
+    if plan is None:
+        plan = plan_sharding(hier, mesh.devices.size, axis)
+    f32 = jnp.float32
+    hier32 = dataclasses.replace(hier, dtype=f32)
+    coarse32 = coarse_ops.make_coarse_solver(
+        hier.coarse_n, hier.spacing(0), hier.ndim, f32, cfg.coarse_method
+    )
+    level = hier.num_levels - 1
+    n_valid = hier.sizes[level]
+    h = hier.spacing(level)
+    inv_h2 = 1.0 / (h * h)
+
+    def residual_df_local(u_hi, u_lo, f_hi, f_lo, axisn, n_dev):
+        """Compensated local residual (halo-extended i neighbors)."""
+        ehi = _halo_extend(u_hi, axisn, n_dev)
+        elo = _halo_extend(u_lo, axisn, n_dev)
+
+        def comp_stencil(ext, cen):
+            terms = [
+                ext[:-2], ext[2:],
+                jnp.roll(cen, 1, 1), jnp.roll(cen, -1, 1),
+                jnp.roll(cen, 1, 2), jnp.roll(cen, -1, 2),
+                -4.0 * cen, -2.0 * cen,  # exact products
+            ]
+            s = terms[0]
+            c = jnp.zeros_like(s)
+            for t in terms[1:]:
+                s, err = pk._two_sum(s, t)
+                c = c + err
+            return s, c
+
+        s_hi, c_hi = comp_stencil(ehi, u_hi)
+        s_lo, c_lo = comp_stencil(elo, u_lo)
+        r, e1 = pk._two_sum(f_hi, -inv_h2 * s_hi)
+        r = r + (f_lo - inv_h2 * (c_hi + s_lo + c_lo) + e1)
+        mask = _masks(axisn, u_hi.shape[0], n_valid, None)
+        return jnp.where(mask, r, jnp.zeros_like(r))
+
+    def local_fn(u_hi, u_lo, f_hi, f_lo):
+        axisn, n_dev = plan.axis, plan.n_dev
+        r = residual_df_local(u_hi, u_lo, f_hi, f_lo, axisn, n_dev)
+        nrm = jnp.sqrt(norm_sq_local(r, axisn))
+        safe = jnp.maximum(nrm, jnp.asarray(1e-30, dtype=nrm.dtype))
+        r32 = r / safe
+        e = rb_smooth_local(
+            jnp.zeros_like(r32), r32, h, cfg.n_smooth, n_valid, axisn, n_dev, True
+        )
+        rr = residual_local(e, r32, h, n_valid, axisn, n_dev)
+        fc = restrict_local(rr, n_valid, axisn, n_dev)
+        ec = _sharded_correction(fc, hier32, cfg, plan, coarse32, level - 1, 1)
+        e = prolong_correct_local(ec, e, hier.sizes[level - 1], axisn, n_dev)
+        e = rb_smooth_local(e, r32, h, cfg.n_smooth, n_valid, axisn, n_dev, False)
+        u_hi, u_lo = pk.df_add(u_hi, u_lo, safe * e)
+        r_after = residual_df_local(u_hi, u_lo, f_hi, f_lo, axisn, n_dev)
+        norm = jnp.sqrt(norm_sq_local(r_after, axisn))
+        return u_hi, u_lo, norm
+
+    mapped = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped), plan
+
+
 # ------------------------------------------------------------------ setup
 
 
@@ -405,6 +489,26 @@ def setup_problem_sharded(problem, hier: Hierarchy, mesh: Mesh, plan: ShardPlan)
     f = jnp.pad(f, ((0, pad), (0, 0), (0, 0)))
     sh = NamedSharding(mesh, P(plan.axis))
     return jax.device_put(u0, sh), jax.device_put(f, sh)
+
+
+def setup_df_problem_sharded(problem, hier: Hierarchy, mesh: Mesh, plan: ShardPlan):
+    """Double-float (hi, lo) sharded setup: (u_hi, u_lo, f_hi, f_lo)."""
+    from multigrid_parallel_tpu.cycles import setup_problem
+    from multigrid_parallel_tpu.ops import pallas3d as pk
+
+    u64, f64 = setup_problem(problem, hier)
+    pad = plan.padded_planes(0) - hier.finest_n
+    sh = NamedSharding(mesh, P(plan.axis))
+
+    def prep(x64):
+        hi, lo = pk.df_split(x64)
+        hi = jnp.pad(hi, ((0, pad), (0, 0), (0, 0)))
+        lo = jnp.pad(lo, ((0, pad), (0, 0), (0, 0)))
+        return jax.device_put(hi, sh), jax.device_put(lo, sh)
+
+    u_hi, u_lo = prep(u64)
+    f_hi, f_lo = prep(f64)
+    return u_hi, u_lo, f_hi, f_lo
 
 
 def unpad(u_padded, hier: Hierarchy):

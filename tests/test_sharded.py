@@ -153,3 +153,52 @@ def test_sharded_transfer_ops_match(mesh):
     )
     got_f = np.asarray(fn2(ecp, efp))[:nf]
     np.testing.assert_allclose(got_f, want_f, rtol=0, atol=1e-13)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_cycle_device_count_invariance(n_dev):
+    # the analogue of the reference's 1..8-thread invariance study
+    # (red_black_gs_scalability.txt): convergence must not depend on the
+    # device count
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=3)
+    cfg = CycleConfig(n_smooth=2)
+    prob = poisson_3d_quadratic()
+    m = sh.make_mesh(n_dev)
+    cycle, plan = sh.make_sharded_cycle(hier, cfg, m)
+    u, f = sh.setup_problem_sharded(prob, hier, m, plan)
+    norms = []
+    for _ in range(3):
+        u, norm = cycle(u, f)
+        norms.append(float(norm))
+    # reference single-device norms
+    cycle_1 = make_cycle_fn(hier, cfg)
+    u1, f1 = setup_problem(prob, hier)
+    for want in range(3):
+        u1, n1 = cycle_1(u1, f1)
+        assert norms[want] == pytest.approx(float(n1), rel=1e-10)
+
+
+def test_sharded_df_cycle_converges_all_f32(mesh):
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)  # 33^3
+    cfg = CycleConfig(n_smooth=2)
+    prob = poisson_3d_quadratic()
+    cycle, plan = sh.make_sharded_df_cycle(hier, cfg, mesh)
+    u_hi, u_lo, f_hi, f_lo = sh.setup_df_problem_sharded(prob, hier, mesh, plan)
+    init = float(jnp.sqrt(jnp.sum(f_hi.astype(jnp.float64) ** 2)))
+    norm = init
+    for _ in range(25):
+        u_hi, u_lo, norm_d = cycle(u_hi, u_lo, f_hi, f_lo)
+        norm = float(norm_d)
+        if norm <= 1e-8 * init:
+            break
+    assert norm <= 1e-8 * init, norm
+    # oracle on the reconstructed f64 solution
+    from multigrid_parallel_tpu.hierarchy import evaluate_on_grid
+    from multigrid_parallel_tpu.ops import pallas3d as pk
+
+    u = pk.df_to_f64(sh.unpad(u_hi, hier), sh.unpad(u_lo, hier))
+    exact = evaluate_on_grid(prob.analytic, hier, hier.num_levels - 1)
+    err = float(jnp.sqrt(jnp.sum((u - exact) ** 2)))
+    assert err < 5e-8, err
