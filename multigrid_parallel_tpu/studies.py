@@ -36,6 +36,24 @@ class StudyResult:
         return self.residual_norms[-1] / self.residual_norms[-2]
 
 
+def _setup_any_n(n: int):
+    """Reference-style (u0, f) setup for an arbitrary n^3 grid — the
+    studies don't need a 2^k+1 hierarchy (the reference's is 50^3,
+    red_black_gs_scalability.txt:1)."""
+    import numpy as np
+
+    from multigrid_parallel_tpu.hierarchy import apply_boundary
+
+    h = 1.0 / (n - 1)
+    prob = poisson_3d_quadratic()
+    c = jnp.asarray(np.arange(n) * h)
+    bc = prob.bc(c[:, None, None], c[None, :, None], c[None, None, :])
+    bc = jnp.broadcast_to(bc, (n, n, n))
+    f = apply_boundary(jnp.zeros((n, n, n), bc.dtype), bc)
+    u = apply_boundary(jnp.zeros_like(f), bc)
+    return u, f, h
+
+
 def smoother_study(
     num_levels: int = 4,
     coarse_n: int = 5,
@@ -44,15 +62,23 @@ def smoother_study(
     max_iters: int = 2000,
     use_pallas: bool = False,
     verbose: bool = False,
+    n: int = 0,
+    n_smooth: int = 1,
 ) -> StudyResult:
     """Pure-smoother convergence study (no multigrid): per iteration one
     red-first + one black-first smoothing pair, like the
     preSmoother+postSmoother pair per iteration of test_rb_gs_3d.c:69-71.
+
+    ``n`` > 0 overrides the hierarchy-derived size (any n, e.g. the
+    reference's 50).
     """
-    hier = Hierarchy(ndim=3, coarse_n=coarse_n, num_levels=num_levels)
-    u, f = setup_problem(poisson_3d_quadratic(), hier)
-    h = hier.finest_spacing
-    n = hier.finest_n
+    if n:
+        u, f, h = _setup_any_n(n)
+    else:
+        hier = Hierarchy(ndim=3, coarse_n=coarse_n, num_levels=num_levels)
+        u, f = setup_problem(poisson_3d_quadratic(), hier)
+        h = hier.finest_spacing
+        n = hier.finest_n
 
     if smoother == "rb" and use_pallas:
         from multigrid_parallel_tpu.ops import pallas3d as pk
@@ -60,29 +86,29 @@ def smoother_study(
         def step(u):
             up = pk.pad3(u)
             fp = pk.pad3(f)
-            up = pk.rb_smooth_fused_padded(up, fp, h, 1, n, red_first=True)
-            up = pk.rb_smooth_fused_padded(up, fp, h, 1, n, red_first=False)
+            up = pk.rb_smooth_fused_padded(up, fp, h, n_smooth, n, red_first=True)
+            up = pk.rb_smooth_fused_padded(up, fp, h, n_smooth, n, red_first=False)
             u = pk.unpad3(up, n)
             return u, ops3.residual_norm(u, f, h)
 
     elif smoother == "rb":
 
         def step(u):
-            u = ops3.rb_smooth(u, f, h, 1, red_first=True)
-            u = ops3.rb_smooth(u, f, h, 1, red_first=False)
+            u = ops3.rb_smooth(u, f, h, n_smooth, red_first=True)
+            u = ops3.rb_smooth(u, f, h, n_smooth, red_first=False)
             return u, ops3.residual_norm(u, f, h)
 
     elif smoother == "lex":
 
         def step(u):
-            u = ops3.gauss_seidel_lex(u, f, h, 2)
+            u = ops3.gauss_seidel_lex(u, f, h, 2 * n_smooth)
             u = ops3.update_edge_values(u)  # GaussSeidelSmoother does this
             return u, ops3.residual_norm(u, f, h)
 
     elif smoother == "jacobi":
 
         def step(u):
-            u = ops3.jacobi_smooth(u, f, h, 2)
+            u = ops3.jacobi_smooth(u, f, h, 2 * n_smooth)
             return u, ops3.residual_norm(u, f, h)
 
     else:
