@@ -114,6 +114,9 @@ def make_padded_correction_cycle(
             x = coarse_solve(pk.unpad3(r, n))
             return pk.pad3(ops3.zero_boundary(x))
         h = hier32.spacing(level)
+        # NOTE: measured FASTER than the fused smooth+residual kernel
+        # (rb_smooth_residual_fused_padded): the fusion's larger halo and
+        # single-buffered DMA cost more than the saved HBM pass.
         e = pk.rb_smooth_fused_pipelined(e, r, h, n_smooth, n, red_first=True)
         res = pk.residual_fused_padded(e, r, h, n)
         rc = restrict_padded(res, n)

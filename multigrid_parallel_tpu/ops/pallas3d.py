@@ -425,6 +425,113 @@ def residual_fused_padded(
     return call(u_pad, f_pad)
 
 
+# ------------------------------------- fused smooth+residual (one pass)
+
+
+def _make_rb_smooth_residual_kernel(n, si, sj, sk, bi, h, n_iter, red_first):
+    """Pre-smooth (all 2*n_iter half-sweeps) AND the post-smoothing
+    residual in ONE pass: halo 2*n_iter+1 (one extra plane for the
+    residual stencil of the smoothed field). Emits (u_smoothed, r)."""
+    h2 = h * h
+    inv_h2 = 1.0 / h2
+    hh = 2 * n_iter + 1
+    colors = (RED, BLACK) if red_first else (BLACK, RED)
+
+    def kernel(u_hbm, f_hbm, out_u_hbm, out_r_hbm,
+               eu_ref, ef_ref, tile_u_ref, tile_r_ref, sem):
+        i = pl.program_id(0)
+        start = jnp.clip(i * bi - hh, 0, n - si)
+        _start_dma_pair(u_hbm, f_hbm, eu_ref, ef_ref, sem, start, si)
+
+        eu = eu_ref[:]
+        ef = ef_ref[:]
+        interior, parity = _slab_masks(n, si, sj, sk, start)
+        for _ in range(n_iter):
+            for c in colors:
+                nbr, cen = _nbr_sum(eu)
+                upd = (nbr - h2 * ef[1:-1]) * (1.0 / 6.0)
+                m = interior[1:-1] & (parity[1:-1] == c)
+                mid = jnp.where(m, upd, cen)
+                eu = jnp.concatenate([eu[:1], mid, eu[-1:]], axis=0)
+        # residual of the smoothed field (valid on the block rows, whose
+        # dependency cone stays inside the slab thanks to the +1 halo)
+        nbr, cen = _nbr_sum(eu)
+        r = ef[1:-1] - inv_h2 * (nbr - 6.0 * cen)
+        z = jnp.zeros((1, sj, sk), r.dtype)
+        r = jnp.concatenate([z, r, z], axis=0)
+        r = jnp.where(interior, r, jnp.zeros_like(r))
+
+        out_start = jnp.minimum(i * bi, n - bi)
+        eu_ref[:] = eu
+        _write_tile(eu_ref, out_u_hbm, tile_u_ref, sem, out_start - start,
+                    out_start, bi)
+        ef_ref[:] = r  # staging
+        tile_r_ref[:] = ef_ref[pl.ds(out_start - start, bi)]
+        cp = pltpu.make_async_copy(
+            tile_r_ref, out_r_hbm.at[pl.ds(out_start, bi)], sem.at[1]
+        )
+        cp.start()
+        cp.wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "n_iter", "n", "red_first", "block_i")
+)
+def rb_smooth_residual_fused_padded(
+    u_pad, f_pad, h: float, n_iter: int, n: int,
+    red_first: bool = True, block_i: int = 8,
+):
+    """(pre-smooth stage, residual) in one HBM pass. Returns (u', r)."""
+    _, sj, sk = u_pad.shape
+    hh = 2 * n_iter + 1
+    bi = _auto_block_i(n, sj, sk, hh, u_pad.dtype.itemsize, False, block_i)
+    if bi == 0:
+        u2 = rb_smooth_fused_padded(
+            u_pad, f_pad, h, n_iter, n, red_first=red_first, block_i=block_i
+        )
+        return u2, residual_fused_padded(u2, f_pad, h, n, block_i=block_i)
+    si = bi + 2 * hh
+    kernel = _make_rb_smooth_residual_kernel(n, si, sj, sk, bi, h, n_iter, red_first)
+    call = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(n, bi),),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, sj, sk), u_pad.dtype),
+            jax.ShapeDtypeStruct((n, sj, sk), u_pad.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((si, sj, sk), u_pad.dtype),
+            pltpu.VMEM((si, sj, sk), u_pad.dtype),
+            pltpu.VMEM((bi, sj, sk), u_pad.dtype),
+            pltpu.VMEM((bi, sj, sk), u_pad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+
+    def go(*args):
+        if u_pad.dtype == jnp.float64:
+            return call(*args)
+        with jax.enable_x64(False):
+            return call(*args)
+
+    return go(u_pad, f_pad)
+
+
 # ------------------------------------------------- double-float residual
 
 

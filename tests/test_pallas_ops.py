@@ -75,3 +75,17 @@ def test_fused_smoother_in_f64(uf):
     want = np.asarray(ops.rb_smooth(u64, f64, H, 1))
     got = np.asarray(pallas3d.rb_smooth_fused(u64, f64, H, 1, block_i=4))
     np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-14)
+
+
+def test_rb_smooth_residual_fused_matches_separate(uf):
+    from multigrid_parallel_tpu.ops import pallas3d as pk
+
+    u, f = uf
+    up, fp = pk.pad3(u), pk.pad3(f)
+    want_u = pk.rb_smooth_fused_padded(up, fp, H, 2, N, block_i=4)
+    want_r = pk.residual_fused_padded(want_u, fp, H, N, block_i=4)
+    got_u, got_r = pk.rb_smooth_residual_fused_padded(up, fp, H, 2, N, block_i=4)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               rtol=2e-5, atol=2e-5)
