@@ -118,7 +118,7 @@ def make_padded_correction_cycle(
         # (rb_smooth_residual_fused_padded): the fusion's larger halo and
         # single-buffered DMA cost more than the saved HBM pass.
         e = pk.rb_smooth_fused_pipelined(e, r, h, n_smooth, n, red_first=True)
-        res = pk.residual_fused_padded(e, r, h, n)
+        res = pk.residual_fused_pipelined(e, r, h, n)
         rc = restrict_padded(res, n)
         nc = hier32.sizes[level - 1]
         ec = descend(jnp.zeros_like(rc), rc, level - 1)

@@ -214,17 +214,17 @@ def _make_rb_kernel(n, si, sj, sk, bi, h, n_iter, red_first):
     return kernel
 
 
-def _make_rb_kernel_pipelined(n, si, sj, sk, bi, h, n_iter, red_first, nb):
-    """Double-buffered variant: in-DMA for slab i+1 and out-DMA for tile
-    i-1 overlap with the compute of slab i (guide: Patterns/Double
-    Buffering). Two slab/tile slots ping-pong across the sequential
-    ("arbitrary") grid; scratch persists between grid steps on TPU."""
-    h2 = h * h
-    hh = 2 * n_iter
-    colors = (RED, BLACK) if red_first else (BLACK, RED)
+def _make_pipelined_kernel(n, si, sj, sk, bi, halo, nb, body):
+    """Double-buffered streaming template: in-DMA for slab i+1 and
+    out-DMA for tile i-1 overlap with the compute of slab i (guide:
+    Patterns/Double Buffering). Two slab/tile slots ping-pong across the
+    sequential ("arbitrary") grid; scratch persists between grid steps.
+
+    ``body(eu, ef, interior, parity)`` maps the (si, sj, sk) slabs to the
+    output slab (same leading length si)."""
 
     def in_dma(hbm, ref2, sem2, slot, blk):
-        start = jnp.clip(blk * bi - hh, 0, n - si)
+        start = jnp.clip(blk * bi - halo, 0, n - si)
         return pltpu.make_async_copy(
             hbm.at[pl.ds(start, si)], ref2.at[slot], sem2.at[slot]
         )
@@ -253,24 +253,16 @@ def _make_rb_kernel_pipelined(n, si, sj, sk, bi, h, n_iter, red_first, nb):
         in_dma(u_hbm, eu2, sem_u, slot, i).wait()
         in_dma(f_hbm, ef2, sem_f, slot, i).wait()
 
-        start = jnp.clip(i * bi - hh, 0, n - si)
-        eu = eu2[slot]
-        ef = ef2[slot]
+        start = jnp.clip(i * bi - halo, 0, n - si)
         interior, parity = _slab_masks(n, si, sj, sk, start)
-        for _ in range(n_iter):
-            for c in colors:
-                nbr, cen = _nbr_sum(eu)
-                upd = (nbr - h2 * ef[1:-1]) * (1.0 / 6.0)
-                m = interior[1:-1] & (parity[1:-1] == c)
-                mid = jnp.where(m, upd, cen)
-                eu = jnp.concatenate([eu[:1], mid, eu[-1:]], axis=0)
+        out_slab = body(eu2[slot], ef2[slot], interior, parity)
 
         # tile slot reused from block i-2: its out-DMA must have landed.
         @pl.when(i >= 2)
         def _():
             out_dma(out_hbm, tile2, sem_o, slot, i - 2).wait()
 
-        eu2[slot, :] = eu
+        eu2[slot, :] = out_slab
         out_start = jnp.minimum(i * bi, n - bi)
         tile2[slot, :] = eu2[slot, pl.ds(out_start - start, bi)]
         out_dma(out_hbm, tile2, sem_o, slot, i).start()
@@ -285,6 +277,43 @@ def _make_rb_kernel_pipelined(n, si, sj, sk, bi, h, n_iter, red_first, nb):
             out_dma(out_hbm, tile2, sem_o, nslot, i - 1).wait()
 
     return kernel
+
+
+def _rb_body(h, n_iter, red_first):
+    h2 = h * h
+    colors = (RED, BLACK) if red_first else (BLACK, RED)
+
+    def body(eu, ef, interior, parity):
+        # hoist the per-color masks out of the sweep loop
+        masks = {c: interior[1:-1] & (parity[1:-1] == c) for c in set(colors)}
+        for _ in range(n_iter):
+            for c in colors:
+                nbr, cen = _nbr_sum(eu)
+                upd = (nbr - h2 * ef[1:-1]) * (1.0 / 6.0)
+                mid = jnp.where(masks[c], upd, cen)
+                eu = jnp.concatenate([eu[:1], mid, eu[-1:]], axis=0)
+        return eu
+
+    return body
+
+
+def _residual_body(h):
+    inv_h2 = 1.0 / (h * h)
+
+    def body(eu, ef, interior, parity):
+        nbr, cen = _nbr_sum(eu)
+        r = ef[1:-1] - inv_h2 * (nbr - 6.0 * cen)
+        z = jnp.zeros((1,) + r.shape[1:], r.dtype)
+        r = jnp.concatenate([z, r, z], axis=0)
+        return jnp.where(interior, r, jnp.zeros_like(r))
+
+    return body
+
+
+def _make_rb_kernel_pipelined(n, si, sj, sk, bi, h, n_iter, red_first, nb):
+    return _make_pipelined_kernel(
+        n, si, sj, sk, bi, 2 * n_iter, nb, _rb_body(h, n_iter, red_first)
+    )
 
 
 def _pallas_stencil_call_pipelined(kernel, n, si, sj, sk, bi, dtype):
@@ -422,6 +451,21 @@ def residual_fused_padded(
         return pad3(stencils_3d.residual(unpad3(u_pad, n), unpad3(f_pad, n), h))
     kernel = _make_residual_kernel(n, bi + 2, sj, sk, bi, h)
     call = _pallas_stencil_call(kernel, n, bi + 2, sj, sk, bi, u_pad.dtype)
+    return call(u_pad, f_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "n", "block_i"))
+def residual_fused_pipelined(
+    u_pad: jnp.ndarray, f_pad: jnp.ndarray, h: float, n: int, block_i: int = 16
+):
+    """Double-buffered variant of residual_fused_padded."""
+    _, sj, sk = u_pad.shape
+    bi = _auto_block_i(n, sj, sk, 1, u_pad.dtype.itemsize, True, block_i)
+    nb = pl.cdiv(n, bi) if bi else 0
+    if bi == 0 or nb < 2:
+        return residual_fused_padded(u_pad, f_pad, h, n, block_i=block_i)
+    kernel = _make_pipelined_kernel(n, bi + 2, sj, sk, bi, 1, nb, _residual_body(h))
+    call = _pallas_stencil_call_pipelined(kernel, n, bi + 2, sj, sk, bi, u_pad.dtype)
     return call(u_pad, f_pad)
 
 
