@@ -100,3 +100,34 @@ def test_df_solver_converges_to_oracle():
     exact = evaluate_on_grid(poisson_3d_quadratic().analytic, hier, 3)
     err = float(jnp.sqrt(jnp.sum((u - exact) ** 2)))
     assert err < 5e-8, err
+
+
+def test_north_star_1e10_under_10_cycles():
+    # BASELINE north star under the iterative convention (docs/ACCURACY.md):
+    # residual reduced 1e-10 RELATIVE TO THE INITIAL INTERIOR RESIDUAL in
+    # under 10 V-cycles with 4 smoothing sweeps. The contraction rate is
+    # grid-size independent (textbook multigrid; the 33^3..257^3 C
+    # fingerprints confirm), so pin it at 33^3 on CPU.
+    import dataclasses
+
+    from multigrid_parallel_tpu.cycles_padded import make_padded_correction_cycle
+
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)  # 33^3
+    cfg = CycleConfig(n_smooth=4)
+    hier32 = dataclasses.replace(hier, dtype=jnp.float32)
+    inner = make_padded_correction_cycle(hier32, cfg)
+    u_hi, u_lo, f_hi, f_lo = setup_df_problem(poisson_3d_quadratic(), hier)
+    h = hier.finest_spacing
+
+    def dfres(u_hi, u_lo):
+        return pk.residual_df_fused_padded(u_hi, u_lo, f_hi, f_lo, h, 33)
+
+    r = dfres(u_hi, u_lo)
+    n0 = float(jnp.sqrt(jnp.sum(r * r)))
+    nrm = n0
+    for it in range(9):
+        e = inner(jnp.zeros_like(r), r / jnp.float32(nrm))
+        u_hi, u_lo = pk.df_add(u_hi, u_lo, jnp.float32(nrm) * e)
+        r = dfres(u_hi, u_lo)
+        nrm = float(jnp.sqrt(jnp.sum(r * r)))
+    assert nrm / n0 <= 1e-10, nrm / n0
