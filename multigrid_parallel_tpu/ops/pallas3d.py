@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 from multigrid_parallel_tpu.ops.stencils_3d import BLACK, RED
 
 _VMEM_LIMIT = 100 * 1024 * 1024  # v5e has >100MB of VMEM; default cap is 16MB
-_VMEM_BUDGET = 72 * 1024 * 1024  # planning budget (leave room for temps)
+_VMEM_BUDGET = 88 * 1024 * 1024  # planning budget (leave room for temps)
 
 
 def _auto_block_i(n, sj, sk, halo, itemsize, pipelined, requested):
@@ -363,11 +363,20 @@ def rb_smooth_fused_pipelined(
     block_i: int = 8,
 ):
     """Pipelined (double-buffered) variant of rb_smooth_fused_padded.
-    Downgrades to the single-buffered kernel (then the jnp path) when the
-    double-buffered footprint exceeds VMEM (large planes)."""
+    On large planes where the full n_iter fusion halo doesn't fit VMEM,
+    splits into single-iteration pipelined passes (halo 2 each) before
+    downgrading to the single-buffered kernel / jnp path."""
     _, sj, sk = u_pad.shape
     hh = 2 * n_iter
     bi = _auto_block_i(n, sj, sk, hh, u_pad.dtype.itemsize, True, block_i)
+    if bi < 4 and n_iter > 1:
+        bi1 = _auto_block_i(n, sj, sk, 2, u_pad.dtype.itemsize, True, block_i)
+        if bi1 >= 4:
+            for _ in range(n_iter):
+                u_pad = rb_smooth_fused_pipelined(
+                    u_pad, f_pad, h, 1, n, red_first=red_first, block_i=block_i
+                )
+            return u_pad
     nb = pl.cdiv(n, bi) if bi else 0
     if bi == 0 or nb < 2:
         return rb_smooth_fused_padded(
