@@ -1,0 +1,51 @@
+"""CLI interface tests (the reference's positional driver signature)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _run(*args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # force-cpu via sitecustomize-free path: the CLI reads jax config
+    # lazily, so env works when no plugin overrides; in plugin-pinned
+    # environments tests still pass because tiny grids run anywhere.
+    return subprocess.run(
+        [sys.executable, "-m", "multigrid_parallel_tpu", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=1200,
+    )
+
+
+def test_cli_3d_solve():
+    r = _run("5", "2", "2", "--quiet", "--tol", "1e-6")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "error vs analytic" in r.stdout
+    assert "cycles:" in r.stdout
+
+
+def test_cli_1d_solve():
+    r = _run("5", "4", "2", "--ndim", "1", "--quiet", "--tol", "1e-6")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "cycles:" in r.stdout
+
+
+def test_cli_rejects_bad_coarse_n():
+    r = _run("6", "2", "2", "--quiet")
+    assert r.returncode != 0
+    assert "power of two" in (r.stderr + r.stdout)
+
+
+def test_cli_vtk_output(tmp_path):
+    out = tmp_path / "err.vtk"
+    r = _run("5", "2", "2", "--quiet", "--tol", "1e-6", "--vtk", str(out))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+    assert out.read_text().startswith("# vtk DataFile")
