@@ -51,8 +51,15 @@ def main(argv=None):
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
+    import os
+
     import jax
 
+    # Honor JAX_PLATFORMS even when a pinned platform plugin ignores the
+    # env var (the config knob is authoritative pre-backend-init).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp

@@ -596,6 +596,36 @@ def _two_sum(a, b):
     return s, err
 
 
+def _comp_sum(terms):
+    """Compensated chain sum: s + c represents sum(terms) to ~eps^2."""
+    s = terms[0]
+    c = jnp.zeros_like(s)
+    for t in terms[1:]:
+        s, err = _two_sum(s, t)
+        c = c + err
+    return s, c
+
+
+def _stencil_terms(center, nbrs):
+    """The 8-term EFT stencil decomposition: six neighbors plus the
+    exact split -6u = -4u + -2u (powers of two multiply exactly)."""
+    return list(nbrs) + [-4.0 * center, -2.0 * center]
+
+
+def _eft_residual(f_hi, f_lo, hi_center, hi_nbrs, lo_center, lo_nbrs, inv_h2):
+    """Shared double-float residual combine: r_hi ~= f - inv_h2 *
+    (sum6(u) - 6u) with u = u_hi + u_lo, accurate to ~ulp-relative.
+    ``inv_h2`` must be an exact power of two (h = 2^-k grids).
+
+    One definition used by all three callers (Pallas kernel, XLA
+    fallback, sharded halo form), which differ only in how the
+    i-neighbors are obtained."""
+    s_hi, c_hi = _comp_sum(_stencil_terms(hi_center, hi_nbrs))
+    s_lo, c_lo = _comp_sum(_stencil_terms(lo_center, lo_nbrs))
+    r, e1 = _two_sum(f_hi, -inv_h2 * s_hi)
+    return r + (f_lo - inv_h2 * (c_hi + s_lo + c_lo) + e1)
+
+
 def _make_residual_df_kernel(n, si, sj, sk, bi, h):
     """Compensated f32 residual of a double-float solution u = u_hi+u_lo:
     r_hi ~= f - (1/h^2)(sum6 u - 6u) accurate to ~1e-14 relative.
@@ -626,26 +656,19 @@ def _make_residual_df_kernel(n, si, sj, sk, bi, h):
 
         interior, _ = _slab_masks(n, si, sj, sk, start)
 
-        def comp_stencil(e):
+        def slab_nbrs(e):
             x = e[1:-1]
-            terms = [
+            return x, [
                 e[:-2], e[2:],
                 _roll(x, 1, 1), _roll(x, -1, 1),
                 _roll(x, 1, 2), _roll(x, -1, 2),
-                -4.0 * x, -2.0 * x,  # exact products
             ]
-            s = terms[0]
-            c = jnp.zeros_like(s)
-            for t in terms[1:]:
-                s, err = _two_sum(s, t)
-                c = c + err
-            return s, c
 
-        s_hi, c_hi = comp_stencil(ehi_ref[:])
-        s_lo, c_lo = comp_stencil(elo_ref[:])
-        r, e1 = _two_sum(efh_ref[1:-1], -inv_h2 * s_hi)
-        tail = efl_ref[1:-1] - inv_h2 * (c_hi + s_lo + c_lo) + e1
-        r = r + tail
+        hi_c, hi_n = slab_nbrs(ehi_ref[:])
+        lo_c, lo_n = slab_nbrs(elo_ref[:])
+        r = _eft_residual(
+            efh_ref[1:-1], efl_ref[1:-1], hi_c, hi_n, lo_c, lo_n, inv_h2
+        )
         z = jnp.zeros((1, sj, sk), r.dtype)
         r = jnp.concatenate([z, r, z], axis=0)
         r = jnp.where(interior, r, jnp.zeros_like(r))
@@ -701,24 +724,16 @@ def _residual_df_jnp(u_hi, u_lo, f_hi, f_lo, h: float, n: int):
     """XLA elementwise EFT fallback (same math as the kernel)."""
     inv_h2 = 1.0 / (h * h)
 
-    def comp_stencil(u):
-        terms = [
+    def roll_nbrs(u):
+        return [
             jnp.roll(u, 1, 0), jnp.roll(u, -1, 0),
             jnp.roll(u, 1, 1), jnp.roll(u, -1, 1),
             jnp.roll(u, 1, 2), jnp.roll(u, -1, 2),
-            -4.0 * u, -2.0 * u,
         ]
-        s = terms[0]
-        c = jnp.zeros_like(s)
-        for t in terms[1:]:
-            s, err = _two_sum(s, t)
-            c = c + err
-        return s, c
 
-    s_hi, c_hi = comp_stencil(u_hi)
-    s_lo, c_lo = comp_stencil(u_lo)
-    r, e1 = _two_sum(f_hi, -inv_h2 * s_hi)
-    r = r + (f_lo - inv_h2 * (c_hi + s_lo + c_lo) + e1)
+    r = _eft_residual(
+        f_hi, f_lo, u_hi, roll_nbrs(u_hi), u_lo, roll_nbrs(u_lo), inv_h2
+    )
     ii = jax.lax.broadcasted_iota(jnp.int32, (u_hi.shape[0], 1, 1), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (1, u_hi.shape[1], 1), 1)
     kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, u_hi.shape[2]), 2)

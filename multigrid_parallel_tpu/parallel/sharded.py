@@ -420,28 +420,20 @@ def make_sharded_df_cycle(
     inv_h2 = 1.0 / (h * h)
 
     def residual_df_local(u_hi, u_lo, f_hi, f_lo, axisn, n_dev):
-        """Compensated local residual (halo-extended i neighbors)."""
-        ehi = _halo_extend(u_hi, axisn, n_dev)
-        elo = _halo_extend(u_lo, axisn, n_dev)
+        """Compensated local residual (halo-extended i neighbors); the
+        EFT math is shared with the single-chip forms (pk._eft_residual)."""
 
-        def comp_stencil(ext, cen):
-            terms = [
+        def halo_nbrs(u):
+            ext = _halo_extend(u, axisn, n_dev)
+            return [
                 ext[:-2], ext[2:],
-                jnp.roll(cen, 1, 1), jnp.roll(cen, -1, 1),
-                jnp.roll(cen, 1, 2), jnp.roll(cen, -1, 2),
-                -4.0 * cen, -2.0 * cen,  # exact products
+                jnp.roll(u, 1, 1), jnp.roll(u, -1, 1),
+                jnp.roll(u, 1, 2), jnp.roll(u, -1, 2),
             ]
-            s = terms[0]
-            c = jnp.zeros_like(s)
-            for t in terms[1:]:
-                s, err = pk._two_sum(s, t)
-                c = c + err
-            return s, c
 
-        s_hi, c_hi = comp_stencil(ehi, u_hi)
-        s_lo, c_lo = comp_stencil(elo, u_lo)
-        r, e1 = pk._two_sum(f_hi, -inv_h2 * s_hi)
-        r = r + (f_lo - inv_h2 * (c_hi + s_lo + c_lo) + e1)
+        r = pk._eft_residual(
+            f_hi, f_lo, u_hi, halo_nbrs(u_hi), u_lo, halo_nbrs(u_lo), inv_h2
+        )
         mask = _masks(axisn, u_hi.shape[0], n_valid, None)
         return jnp.where(mask, r, jnp.zeros_like(r))
 

@@ -1,0 +1,310 @@
+"""2D-mesh domain decomposition: shard_map over (i, j) device axes.
+
+The 1D i-axis decomposition (sharded.py) runs out of planes as the mesh
+grows (1025 planes / 64 devices = 16, and coarser levels vanish). This
+module shards BOTH i and j over a 2D `Mesh(('x','y'))`:
+
+  * halo exchange: one i-plane over 'x', one j-column over 'y', via
+    `lax.ppermute` (the 7-point stencil needs no corner halos);
+  * parity masks from global (i, j) offsets — both local extents are
+    kept even, so shard origins preserve global red/black coloring;
+  * coarsening halves both local extents (plane/column-aligned parents:
+    local + 1 halo each, as in the 1D plan);
+  * the k axis stays unsharded (it is the TPU lane axis: transfer
+    operators apply there as local matmuls);
+  * below a local-extent threshold, all_gather over both axes and run
+    the replicated single-device recursion (the `omp single` analogue).
+
+Everything is validated against the single-device cycle on a virtual
+(4, 2) CPU mesh (tests/test_sharded2d.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multigrid_parallel_tpu.cycles import CycleConfig, _descend
+from multigrid_parallel_tpu.hierarchy import Hierarchy
+from multigrid_parallel_tpu.ops import coarse as coarse_ops
+from multigrid_parallel_tpu.ops import stencils_3d as ops3
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardPlan2D:
+    """Static 2D sharding description (see sharded.ShardPlan)."""
+
+    nx: int
+    ny: int
+    axes: Tuple[str, str]
+    n_sharded: int
+    fine_local_i: int
+    fine_local_j: int
+
+    def local_i(self, depth: int) -> int:
+        return self.fine_local_i >> depth
+
+    def local_j(self, depth: int) -> int:
+        return self.fine_local_j >> depth
+
+    def padded_i(self, depth: int) -> int:
+        return self.nx * self.local_i(depth)
+
+    def padded_j(self, depth: int) -> int:
+        return self.ny * self.local_j(depth)
+
+
+def plan_sharding_2d(
+    hier: Hierarchy, nx: int, ny: int, axes=("x", "y"), min_local: int = 4
+) -> ShardPlan2D:
+    n_sharded = 1
+    while n_sharded < hier.num_levels - 1 and (
+        min(
+            hier.sizes[hier.num_levels - 1 - n_sharded] // nx,
+            hier.sizes[hier.num_levels - 1 - n_sharded] // ny,
+        )
+        >= min_local
+    ):
+        n_sharded += 1
+    align = 1 << n_sharded
+    fi = _round_up(-(-hier.finest_n // nx), align)
+    fj = _round_up(-(-hier.finest_n // ny), align)
+    return ShardPlan2D(
+        nx=nx, ny=ny, axes=tuple(axes), n_sharded=n_sharded,
+        fine_local_i=fi, fine_local_j=fj,
+    )
+
+
+def make_mesh_2d(nx: int, ny: int, axes=("x", "y")) -> Mesh:
+    devs = np.asarray(jax.devices()[: nx * ny]).reshape(nx, ny)
+    return Mesh(devs, tuple(axes))
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _perm_fwd(nd):
+    return [(i, i + 1) for i in range(nd - 1)]
+
+
+def _perm_bwd(nd):
+    return [(i, i - 1) for i in range(1, nd)]
+
+
+def _halo_i(x, axis: str, nd: int):
+    lo = jax.lax.ppermute(x[-1:], axis, _perm_fwd(nd))
+    hi = jax.lax.ppermute(x[:1], axis, _perm_bwd(nd))
+    return jnp.concatenate([lo, x, hi], axis=0)
+
+
+def _halo_j(x, axis: str, nd: int):
+    lo = jax.lax.ppermute(x[:, -1:], axis, _perm_fwd(nd))
+    hi = jax.lax.ppermute(x[:, :1], axis, _perm_bwd(nd))
+    return jnp.concatenate([lo, x, hi], axis=1)
+
+
+def _gij(plan: ShardPlan2D, depth: int):
+    gi0 = jax.lax.axis_index(plan.axes[0]) * plan.local_i(depth)
+    gj0 = jax.lax.axis_index(plan.axes[1]) * plan.local_j(depth)
+    return gi0, gj0
+
+
+def _masks2d(plan, depth, li, lj, n_valid, color):
+    gi0, gj0 = _gij(plan, depth)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (li, 1, 1), 0) + gi0
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, lj, 1), 1) + gj0
+    kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_valid), 2)
+    interior = (
+        (ii >= 1) & (ii <= n_valid - 2) & (jj >= 1) & (jj <= n_valid - 2)
+        & (kk >= 1) & (kk <= n_valid - 2)
+    )
+    if color is None:
+        return interior
+    return interior & (((ii + jj + kk) % 2) == color)
+
+
+def _nbr_sum2d(u, plan):
+    ax_i, ax_j = plan.axes
+    ei = _halo_i(u, ax_i, plan.nx)
+    ej = _halo_j(u, ax_j, plan.ny)
+    return (
+        ei[:-2]
+        + ei[2:]
+        + ej[:, :-2]
+        + ej[:, 2:]
+        + jnp.roll(u, 1, 2)
+        + jnp.roll(u, -1, 2)
+    )
+
+
+def rb_smooth_local2d(u, f, h, n_iter, n_valid, plan, depth, red_first=True):
+    h2 = h * h
+    colors = (ops3.RED, ops3.BLACK) if red_first else (ops3.BLACK, ops3.RED)
+    li, lj = u.shape[0], u.shape[1]
+    masks = {
+        c: _masks2d(plan, depth, li, lj, n_valid, c) for c in set(colors)
+    }
+    for _ in range(n_iter):
+        for c in colors:
+            upd = (_nbr_sum2d(u, plan) - h2 * f) * (1.0 / 6.0)
+            u = jnp.where(masks[c], upd, u)
+    return u
+
+
+def residual_local2d(u, f, h, n_valid, plan, depth):
+    inv_h2 = 1.0 / (h * h)
+    r = f - inv_h2 * (_nbr_sum2d(u, plan) - 6.0 * u)
+    mask = _masks2d(plan, depth, u.shape[0], u.shape[1], n_valid, None)
+    return jnp.where(mask, r, jnp.zeros_like(r))
+
+
+def restrict_local2d(r, n_valid_f, plan, depth):
+    """(Li, Lj, nf) -> (Li/2, Lj/2, nc): k via matmul, i and j via
+    plane/column taps over 1-halo exchanges."""
+    nc = (n_valid_f + 1) // 2
+    sk = jnp.asarray(ops3._restrict_matrix_np(n_valid_f), dtype=r.dtype)
+    t = jnp.einsum("ck,ijk->ijc", sk, r, precision=ops3._HIGHEST)
+    # j axis
+    ej = _halo_j(t, plan.axes[1], plan.ny)
+    lj = t.shape[1]
+    t = (
+        0.25 * ej[:, 0 : lj : 2]
+        + 0.5 * ej[:, 1 : lj + 1 : 2]
+        + 0.25 * ej[:, 2 : lj + 2 : 2]
+    )
+    # i axis
+    ei = _halo_i(t, plan.axes[0], plan.nx)
+    li = r.shape[0]
+    t = 0.25 * ei[0:li:2] + 0.5 * ei[1 : li + 1 : 2] + 0.25 * ei[2 : li + 2 : 2]
+    mask = _masks2d(plan, depth + 1, t.shape[0], t.shape[1], nc, None)
+    return jnp.where(mask, t, jnp.zeros_like(t))
+
+
+def prolong_correct_local2d(ec, ef, n_valid_c, plan, depth):
+    """Coarse (Li/2, Lj/2, nc) correction added into fine (Li, Lj, nf)."""
+    nf = 2 * n_valid_c - 1
+    pkm = jnp.asarray(ops3._prolong_matrix_np(n_valid_c), dtype=ec.dtype)
+    t = jnp.einsum("kc,ijc->ijk", pkm, ec, precision=ops3._HIGHEST)
+    # j axis: even copies, odd averages (right halo)
+    ej = jnp.concatenate(
+        [t, jax.lax.ppermute(t[:, :1], plan.axes[1], _perm_bwd(plan.ny))], axis=1
+    )
+    lc_j = t.shape[1]
+    even_j = ej[:, :lc_j]
+    odd_j = 0.5 * (ej[:, :lc_j] + ej[:, 1 : lc_j + 1])
+    t = jnp.stack([even_j, odd_j], axis=2).reshape(t.shape[0], 2 * lc_j, t.shape[2])
+    # i axis
+    ei = jnp.concatenate(
+        [t, jax.lax.ppermute(t[:1], plan.axes[0], _perm_bwd(plan.nx))], axis=0
+    )
+    lc_i = t.shape[0]
+    even_i = ei[:lc_i]
+    odd_i = 0.5 * (ei[:lc_i] + ei[1 : lc_i + 1])
+    fine = jnp.stack([even_i, odd_i], axis=1).reshape(2 * lc_i, *t.shape[1:])
+    # zero contributions beyond the valid global extent (pad regions)
+    gi0, gj0 = _gij(plan, depth)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (fine.shape[0], 1, 1), 0) + gi0
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, fine.shape[1], 1), 1) + gj0
+    valid = (ii <= nf - 1) & (jj <= nf - 1)
+    fine = jnp.where(valid, fine, jnp.zeros_like(fine))
+    return ef + fine
+
+
+def _correction2d(f_local, hier, cfg, plan, coarse_solve, level, depth):
+    n_valid = hier.sizes[level]
+    h = hier.spacing(level)
+    ax_i, ax_j = plan.axes
+
+    if depth == plan.n_sharded:
+        f_rep = jax.lax.all_gather(f_local, ax_i, axis=0, tiled=True)
+        f_rep = jax.lax.all_gather(f_rep, ax_j, axis=1, tiled=True)
+        f_rep = f_rep[:n_valid, :n_valid]
+        sub = dataclasses.replace(hier, num_levels=level + 1)
+        e_rep = _descend(
+            ops3, sub, cfg, coarse_solve, jnp.zeros_like(f_rep), f_rep, level,
+            correction=True,
+        )
+        li, lj = plan.local_i(depth), plan.local_j(depth)
+        pad_i = plan.padded_i(depth) - n_valid
+        pad_j = plan.padded_j(depth) - n_valid
+        e_pad = jnp.pad(e_rep, ((0, pad_i), (0, pad_j), (0, 0)))
+        gi0, gj0 = _gij(plan, depth)
+        zero = jnp.zeros((), dtype=gi0.dtype)
+        return jax.lax.dynamic_slice(e_pad, (gi0, gj0, zero), (li, lj, n_valid))
+
+    u = jnp.zeros_like(f_local)
+    u = rb_smooth_local2d(u, f_local, h, cfg.n_smooth, n_valid, plan, depth, True)
+    r = residual_local2d(u, f_local, h, n_valid, plan, depth)
+    fc = restrict_local2d(r, n_valid, plan, depth)
+    ec = _correction2d(fc, hier, cfg, plan, coarse_solve, level - 1, depth + 1)
+    u = prolong_correct_local2d(ec, u, hier.sizes[level - 1], plan, depth)
+    u = rb_smooth_local2d(u, f_local, h, cfg.n_smooth, n_valid, plan, depth, False)
+    return u
+
+
+def make_sharded2d_cycle(
+    hier: Hierarchy,
+    cfg: CycleConfig,
+    mesh: Mesh,
+    plan: Optional[ShardPlan2D] = None,
+) -> Tuple[Callable, ShardPlan2D]:
+    """cycle(u, f) -> (u', norm) with u, f sharded over (i, j)."""
+    ax_i, ax_j = mesh.axis_names
+    if plan is None:
+        plan = plan_sharding_2d(
+            hier, mesh.devices.shape[0], mesh.devices.shape[1], (ax_i, ax_j)
+        )
+    coarse_solve = coarse_ops.make_coarse_solver(
+        hier.coarse_n, hier.spacing(0), hier.ndim, hier.dtype, cfg.coarse_method
+    )
+    level = hier.num_levels - 1
+    n_valid = hier.sizes[level]
+    h = hier.spacing(level)
+
+    def local_fn(u, f):
+        u = rb_smooth_local2d(u, f, h, cfg.n_smooth, n_valid, plan, 0, True)
+        r = residual_local2d(u, f, h, n_valid, plan, 0)
+        fc = restrict_local2d(r, n_valid, plan, 0)
+        ec = _correction2d(fc, hier, cfg, plan, coarse_solve, level - 1, 1)
+        u = prolong_correct_local2d(ec, u, hier.sizes[level - 1], plan, 0)
+        u = rb_smooth_local2d(u, f, h, cfg.n_smooth, n_valid, plan, 0, False)
+        r = residual_local2d(u, f, h, n_valid, plan, 0)
+        norm_sq = jax.lax.psum(jax.lax.psum(jnp.sum(r * r), ax_i), ax_j)
+        return u, jnp.sqrt(norm_sq)
+
+    mapped = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(ax_i, ax_j), P(ax_i, ax_j)),
+        out_specs=(P(ax_i, ax_j), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped), plan
+
+
+def setup_problem_sharded2d(problem, hier: Hierarchy, mesh: Mesh, plan: ShardPlan2D):
+    from multigrid_parallel_tpu.cycles import setup_problem
+
+    u0, f = setup_problem(problem, hier)
+    pad_i = plan.padded_i(0) - hier.finest_n
+    pad_j = plan.padded_j(0) - hier.finest_n
+    pad = ((0, pad_i), (0, pad_j), (0, 0))
+    sh = NamedSharding(mesh, P(*plan.axes))
+    return (
+        jax.device_put(jnp.pad(u0, pad), sh),
+        jax.device_put(jnp.pad(f, pad), sh),
+    )
+
+
+def unpad2d(u, hier: Hierarchy):
+    return u[: hier.finest_n, : hier.finest_n]

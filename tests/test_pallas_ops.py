@@ -89,3 +89,43 @@ def test_rb_smooth_residual_fused_matches_separate(uf):
                                rtol=2e-6, atol=2e-6)
     np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n_iter", [1, 2, 3])
+@pytest.mark.parametrize("block_i", [2, 4, 8])
+def test_rb_smooth_pipelined_matches_jnp(n_iter, block_i):
+    # the kernel wired into the hot path (incl. the iteration-split
+    # fallback when the fusion halo exceeds the planning budget)
+    from multigrid_parallel_tpu.ops import pallas3d as pk
+
+    rng = np.random.default_rng(13)
+    u = jnp.asarray(rng.standard_normal((N, N, N)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((N, N, N)), jnp.float32)
+    want = np.asarray(ops.rb_smooth(u, f, H, n_iter))
+    got = np.asarray(
+        pk.unpad3(
+            pk.rb_smooth_fused_pipelined(
+                pk.pad3(u), pk.pad3(f), H, n_iter, N, block_i=block_i
+            ),
+            N,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("block_i", [2, 4, 8])
+def test_residual_pipelined_matches_jnp(block_i):
+    from multigrid_parallel_tpu.ops import pallas3d as pk
+
+    rng = np.random.default_rng(14)
+    u = jnp.asarray(rng.standard_normal((N, N, N)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((N, N, N)), jnp.float32)
+    want = np.asarray(ops.residual(u, f, H))
+    got = np.asarray(
+        pk.unpad3(
+            pk.residual_fused_pipelined(pk.pad3(u), pk.pad3(f), H, N,
+                                        block_i=block_i),
+            N,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -1,0 +1,71 @@
+"""2D-mesh (i, j) decomposition vs single-device equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multigrid_parallel_tpu import CycleConfig, Hierarchy, poisson_3d_quadratic
+from multigrid_parallel_tpu.cycles import make_cycle_fn, setup_problem
+from multigrid_parallel_tpu.parallel import sharded2d as s2
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return s2.make_mesh_2d(4, 2)
+
+
+def test_plan_2d_alignment():
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)
+    plan = s2.plan_sharding_2d(hier, 4, 2)
+    align = 1 << plan.n_sharded
+    assert plan.fine_local_i % align == 0
+    assert plan.fine_local_j % align == 0
+    assert plan.padded_i(0) >= hier.finest_n
+    assert plan.padded_j(0) >= hier.finest_n
+    assert plan.local_i(plan.n_sharded) >= 1
+    assert plan.local_j(plan.n_sharded) >= 1
+
+
+def test_sharded2d_cycle_matches_single_device(mesh):
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)  # 33^3
+    cfg = CycleConfig(n_smooth=2)
+    prob = poisson_3d_quadratic()
+
+    cycle_1 = make_cycle_fn(hier, cfg)
+    u1, f1 = setup_problem(prob, hier)
+
+    cycle_2, plan = s2.make_sharded2d_cycle(hier, cfg, mesh)
+    u2, f2 = s2.setup_problem_sharded2d(prob, hier, mesh, plan)
+
+    for it in range(3):
+        u1, n1 = cycle_1(u1, f1)
+        u2, n2 = cycle_2(u2, f2)
+        assert float(n2) == pytest.approx(float(n1), rel=1e-10), it
+
+    np.testing.assert_allclose(
+        np.asarray(s2.unpad2d(u2, hier)), np.asarray(u1), rtol=0, atol=1e-11
+    )
+
+
+def test_sharded2d_converges_to_oracle(mesh):
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)
+    cfg = CycleConfig(n_smooth=2)
+    prob = poisson_3d_quadratic()
+    cycle, plan = s2.make_sharded2d_cycle(hier, cfg, mesh)
+    u, f = s2.setup_problem_sharded2d(prob, hier, mesh, plan)
+    init = float(jnp.sqrt(jnp.sum(f * f)))
+    norm = init
+    for _ in range(20):
+        u, nd = cycle(u, f)
+        norm = float(nd)
+        if norm <= 1e-8 * init:
+            break
+    assert norm <= 1e-8 * init
+    from multigrid_parallel_tpu.hierarchy import evaluate_on_grid
+
+    exact = evaluate_on_grid(prob.analytic, hier, hier.num_levels - 1)
+    err = float(jnp.sqrt(jnp.sum((s2.unpad2d(u, hier) - exact) ** 2)))
+    assert err < 2e-8, err
