@@ -292,6 +292,105 @@ def make_sharded2d_cycle(
     return jax.jit(mapped), plan
 
 
+def make_sharded2d_df_cycle(
+    hier: Hierarchy,
+    cfg: CycleConfig,
+    mesh: Mesh,
+    plan: Optional[ShardPlan2D] = None,
+) -> Tuple[Callable, ShardPlan2D]:
+    """All-f32 double-float cycle on the 2D mesh: the solution is a
+    (hi, lo) f32 pair, the outer residual is the compensated EFT form
+    (pk._eft_residual — shared with the single-chip and 1D-sharded
+    paths), and the inner correction V-cycle runs in plain f32.
+
+    cycle(u_hi, u_lo, f_hi, f_lo) -> (u_hi', u_lo', norm).
+    """
+    from multigrid_parallel_tpu.ops import pallas3d as pk
+
+    ax_i, ax_j = mesh.axis_names
+    if plan is None:
+        plan = plan_sharding_2d(
+            hier, mesh.devices.shape[0], mesh.devices.shape[1], (ax_i, ax_j)
+        )
+    f32 = jnp.float32
+    hier32 = dataclasses.replace(hier, dtype=f32)
+    coarse32 = coarse_ops.make_coarse_solver(
+        hier.coarse_n, hier.spacing(0), hier.ndim, f32, cfg.coarse_method
+    )
+    level = hier.num_levels - 1
+    n_valid = hier.sizes[level]
+    h = hier.spacing(level)
+    inv_h2 = 1.0 / (h * h)
+
+    def residual_df_local(u_hi, u_lo, f_hi, f_lo):
+        def halo_nbrs(u):
+            ei = _halo_i(u, plan.axes[0], plan.nx)
+            ej = _halo_j(u, plan.axes[1], plan.ny)
+            return [
+                ei[:-2], ei[2:],
+                ej[:, :-2], ej[:, 2:],
+                jnp.roll(u, 1, 2), jnp.roll(u, -1, 2),
+            ]
+
+        r = pk._eft_residual(
+            f_hi, f_lo, u_hi, halo_nbrs(u_hi), u_lo, halo_nbrs(u_lo), inv_h2
+        )
+        mask = _masks2d(plan, 0, u_hi.shape[0], u_hi.shape[1], n_valid, None)
+        return jnp.where(mask, r, jnp.zeros_like(r))
+
+    def local_fn(u_hi, u_lo, f_hi, f_lo):
+        r = residual_df_local(u_hi, u_lo, f_hi, f_lo)
+        nrm_sq = jax.lax.psum(jax.lax.psum(jnp.sum(r * r), ax_i), ax_j)
+        nrm = jnp.sqrt(nrm_sq)
+        safe = jnp.maximum(nrm, jnp.asarray(1e-30, dtype=nrm.dtype))
+        r32 = r / safe
+        e = rb_smooth_local2d(
+            jnp.zeros_like(r32), r32, h, cfg.n_smooth, n_valid, plan, 0, True
+        )
+        rr = residual_local2d(e, r32, h, n_valid, plan, 0)
+        fc = restrict_local2d(rr, n_valid, plan, 0)
+        ec = _correction2d(fc, hier32, cfg, plan, coarse32, level - 1, 1)
+        e = prolong_correct_local2d(ec, e, hier.sizes[level - 1], plan, 0)
+        e = rb_smooth_local2d(e, r32, h, cfg.n_smooth, n_valid, plan, 0, False)
+        u_hi, u_lo = pk.df_add(u_hi, u_lo, safe * e)
+        r_after = residual_df_local(u_hi, u_lo, f_hi, f_lo)
+        norm_sq = jax.lax.psum(jax.lax.psum(jnp.sum(r_after * r_after), ax_i), ax_j)
+        return u_hi, u_lo, jnp.sqrt(norm_sq)
+
+    spec = P(*plan.axes)
+    mapped = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped), plan
+
+
+def setup_df_problem_sharded2d(problem, hier: Hierarchy, mesh: Mesh, plan: ShardPlan2D):
+    """Double-float (hi, lo) 2D-sharded setup: (u_hi, u_lo, f_hi, f_lo)."""
+    from multigrid_parallel_tpu.cycles import setup_problem
+    from multigrid_parallel_tpu.ops import pallas3d as pk
+
+    u64, f64 = setup_problem(problem, hier)
+    pad_i = plan.padded_i(0) - hier.finest_n
+    pad_j = plan.padded_j(0) - hier.finest_n
+    pad = ((0, pad_i), (0, pad_j), (0, 0))
+    sh = NamedSharding(mesh, P(*plan.axes))
+
+    def prep(x64):
+        hi, lo = pk.df_split(x64)
+        return (
+            jax.device_put(jnp.pad(hi, pad), sh),
+            jax.device_put(jnp.pad(lo, pad), sh),
+        )
+
+    u_hi, u_lo = prep(u64)
+    f_hi, f_lo = prep(f64)
+    return u_hi, u_lo, f_hi, f_lo
+
+
 def setup_problem_sharded2d(problem, hier: Hierarchy, mesh: Mesh, plan: ShardPlan2D):
     from multigrid_parallel_tpu.cycles import setup_problem
 

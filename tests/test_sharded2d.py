@@ -50,6 +50,53 @@ def test_sharded2d_cycle_matches_single_device(mesh):
     )
 
 
+def test_sharded2d_df_cycle_converges_all_f32(mesh):
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)  # 33^3
+    cfg = CycleConfig(n_smooth=2)
+    prob = poisson_3d_quadratic()
+    cycle, plan = s2.make_sharded2d_df_cycle(hier, cfg, mesh)
+    u_hi, u_lo, f_hi, f_lo = s2.setup_df_problem_sharded2d(prob, hier, mesh, plan)
+    init = float(jnp.sqrt(jnp.sum(f_hi.astype(jnp.float64) ** 2)))
+    norm = init
+    for _ in range(25):
+        u_hi, u_lo, norm_d = cycle(u_hi, u_lo, f_hi, f_lo)
+        norm = float(norm_d)
+        if norm <= 1e-8 * init:
+            break
+    assert norm <= 1e-8 * init, norm
+    from multigrid_parallel_tpu.hierarchy import evaluate_on_grid
+    from multigrid_parallel_tpu.ops import pallas3d as pk
+
+    u = pk.df_to_f64(s2.unpad2d(u_hi, hier), s2.unpad2d(u_lo, hier))
+    exact = evaluate_on_grid(prob.analytic, hier, hier.num_levels - 1)
+    err = float(jnp.sqrt(jnp.sum((u - exact) ** 2)))
+    assert err < 5e-8, err
+
+
+def test_sharded2d_df_matches_1d_sharded_norms(mesh):
+    """2D-mesh df cycle produces the same norm sequence as the 1D-mesh
+    df cycle (same math, different decomposition)."""
+    from multigrid_parallel_tpu.parallel import sharded as s1
+
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)
+    cfg = CycleConfig(n_smooth=2)
+    prob = poisson_3d_quadratic()
+
+    mesh1 = s1.make_mesh(8)
+    cyc1, plan1 = s1.make_sharded_df_cycle(hier, cfg, mesh1)
+    a = s1.setup_df_problem_sharded(prob, hier, mesh1, plan1)
+
+    cyc2, plan2 = s2.make_sharded2d_df_cycle(hier, cfg, mesh)
+    b = s2.setup_df_problem_sharded2d(prob, hier, mesh, plan2)
+
+    for it in range(3):
+        *a_new, n1 = cyc1(*a)
+        a = (*a_new, a[2], a[3])
+        *b_new, n2 = cyc2(*b)
+        b = (*b_new, b[2], b[3])
+        assert float(n2) == pytest.approx(float(n1), rel=1e-5), it
+
+
 def test_sharded2d_converges_to_oracle(mesh):
     hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)
     cfg = CycleConfig(n_smooth=2)
