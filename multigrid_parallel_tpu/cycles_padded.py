@@ -66,35 +66,55 @@ def _prolong_matrices_np(nc: int):
     return build(sjf, sjc), build(skf, skc)
 
 
+@functools.lru_cache(maxsize=None)
+def _restrict_i_matrix_np(nf: int):
+    """(nc, nf) 3-tap i-axis restriction matrix (interior rows only)."""
+    nc = (nf + 1) // 2
+    si = np.zeros((nc, nf), np.float64)
+    for ic in range(1, nc - 1):
+        si[ic, 2 * ic - 1 : 2 * ic + 2] = (0.25, 0.5, 0.25)
+    return si
+
+
+@functools.lru_cache(maxsize=None)
+def _prolong_i_matrix_np(nc: int):
+    """(nf, nc) linear-interpolation i-axis matrix."""
+    nf = 2 * nc - 1
+    pi = np.zeros((nf, nc), np.float64)
+    pi[2 * np.arange(nc), np.arange(nc)] = 1.0
+    pi[2 * np.arange(nc - 1) + 1, np.arange(nc - 1)] = 0.5
+    pi[2 * np.arange(nc - 1) + 1, np.arange(nc - 1) + 1] = 0.5
+    return pi
+
+
 def restrict_padded(r: jnp.ndarray, nf: int) -> jnp.ndarray:
     """(nf, SJf, SKf) residual -> (nc, SJc, SKc) coarse RHS, full
-    weighting on the interior, zero boundary (correction semantics)."""
-    nc = (nf + 1) // 2
+    weighting on the interior, zero boundary (correction semantics).
+
+    All three axes are separable 3-tap matmuls on the MXU (measured
+    faster than strided plane taps along i, which relayout poorly)."""
     sj, sk = _restrict_matrices_np(nf)
     sj = jnp.asarray(sj, r.dtype)
     sk = jnp.asarray(sk, r.dtype)
+    si = jnp.asarray(_restrict_i_matrix_np(nf), r.dtype)
     t = jnp.einsum("bj,ijk->ibk", sj, r, precision=ops3._HIGHEST)
-    t = jnp.einsum("ck,ibk->ibc", sk, t, precision=ops3._HIGHEST)
-    # i axis: plane taps (axis-0 strided slicing is layout-cheap)
-    core = (
-        0.25 * t[1 : nf - 3 : 2] + 0.5 * t[2 : nf - 2 : 2] + 0.25 * t[3 : nf - 1 : 2]
-    )
-    z = jnp.zeros((1,) + core.shape[1:], core.dtype)
-    return jnp.concatenate([z, core, z], axis=0)
+    t = jnp.einsum("dk,ibk->ibd", sk, t, precision=ops3._HIGHEST)
+    return jnp.einsum("ci,ibd->cbd", si, t, precision=ops3._HIGHEST)
 
 
 def prolong_correct_padded(ec: jnp.ndarray, ef: jnp.ndarray, nc: int) -> jnp.ndarray:
-    """ef += trilinear interp of ec, both padded (correction fields)."""
+    """ef += trilinear interp of ec, both padded (correction fields).
+
+    The i-axis interleave is also a matmul (measured faster than the
+    stack/reshape interleave, which relayouts)."""
     pj, pkm = _prolong_matrices_np(nc)
     pj = jnp.asarray(pj, ec.dtype)
     pkm = jnp.asarray(pkm, ec.dtype)
+    pi = jnp.asarray(_prolong_i_matrix_np(nc), ec.dtype)[: ef.shape[0], : ec.shape[0]]
     t = jnp.einsum("jb,ibc->ijc", pj, ec, precision=ops3._HIGHEST)
     t = jnp.einsum("kc,ijc->ijk", pkm, t, precision=ops3._HIGHEST)
-    even = t[: nc - 1]
-    odd = 0.5 * (t[: nc - 1] + t[1:nc])
-    fine = jnp.stack([even, odd], axis=1).reshape(2 * (nc - 1), *t.shape[1:])
-    fine = jnp.concatenate([fine, t[nc - 1 : nc]], axis=0)
-    return ef + fine
+    t = jnp.einsum("fi,ijk->fjk", pi, t, precision=ops3._HIGHEST)
+    return ef + t
 
 
 def make_padded_correction_cycle(
@@ -118,8 +138,14 @@ def make_padded_correction_cycle(
         # (rb_smooth_residual_fused_padded): the fusion's larger halo and
         # single-buffered DMA cost more than the saved HBM pass.
         e = pk.rb_smooth_fused_pipelined(e, r, h, n_smooth, n, red_first=True)
-        res = pk.residual_fused_pipelined(e, r, h, n)
-        rc = restrict_padded(res, n)
+        _, sj, sk = e.shape
+        bi_rr = pk.rr_fused_block_i(n, sj, sk, e.dtype.itemsize)
+        if bi_rr:
+            # one HBM pass: the fine residual never round-trips to HBM
+            rc = pk.residual_restrict_fused_padded(e, r, h, n, block_i=bi_rr)
+        else:
+            res = pk.residual_fused_pipelined(e, r, h, n)
+            rc = restrict_padded(res, n)
         nc = hier32.sizes[level - 1]
         ec = descend(jnp.zeros_like(rc), rc, level - 1)
         e = prolong_correct_padded(ec, e, nc)

@@ -585,6 +585,182 @@ def rb_smooth_residual_fused_padded(
     return go(u_pad, f_pad)
 
 
+# --------------------------------- fused residual+restrict (one pass)
+
+
+def _band_matrix(rows, cols, n_interior_max, dtype):
+    """In-kernel (rows, cols) 3-tap full-weighting matrix: row a has
+    (0.25, 0.5, 0.25) at columns 2a-1, 2a, 2a+1, interior rows only.
+    Built from iota (cheap VPU work, nothing read from HBM)."""
+    a = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    b = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    d = b - 2 * a
+    val = jnp.where(
+        d == 0, 0.5, jnp.where(jnp.abs(d) == 1, 0.25, 0.0)
+    ).astype(dtype)
+    row_ok = (a >= 1) & (a <= n_interior_max)
+    return jnp.where(row_ok, val, jnp.zeros_like(val))
+
+
+def _make_residual_restrict_kernel(n, si, sj, sk, bi, h, nc, sjc, skc, nb):
+    """Residual + 27-point full-weighting restriction fused in ONE pass
+    over the fine grid (double-buffered): block i covers ``bi`` coarse
+    planes; its fine slab is the 2*bi+3 planes of their dependency cone
+    (residual halo 1 + i-tap span 2). The i-axis taps combine residual
+    planes in VMEM; the j/k taps are per-plane MXU matmuls against
+    iota-built band matrices; only the (nc, sjc, skc) coarse RHS ever
+    returns to HBM. Replaces calculateResidual + restrictResidual
+    (mg_3d.h:794-842, 844-998) without materializing the fine residual.
+    """
+    inv_h2 = 1.0 / (h * h)
+
+    def fs_of(blk):
+        return jnp.clip(2 * blk * bi - 2, 0, n - si)
+
+    def in_dma(hbm, ref2, sem2, slot, blk):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(fs_of(blk), si)], ref2.at[slot], sem2.at[slot]
+        )
+
+    def out_dma(out_hbm, tile2, sem2, slot, row_base):
+        return pltpu.make_async_copy(
+            tile2.at[slot], out_hbm.at[pl.ds(row_base, bi)], sem2.at[slot]
+        )
+
+    def row_base_of(blk):
+        return fs_of(blk) // 2 + 1  # fs is always even
+
+    def kernel(u_hbm, f_hbm, out_hbm, eu2, ef2, tile2, sem_u, sem_f, sem_o):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            in_dma(u_hbm, eu2, sem_u, slot, i).start()
+            in_dma(f_hbm, ef2, sem_f, slot, i).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            in_dma(u_hbm, eu2, sem_u, nslot, i + 1).start()
+            in_dma(f_hbm, ef2, sem_f, nslot, i + 1).start()
+
+        in_dma(u_hbm, eu2, sem_u, slot, i).wait()
+        in_dma(f_hbm, ef2, sem_f, slot, i).wait()
+
+        fs = fs_of(i)
+        row_base = row_base_of(i)
+        eu = eu2[slot]
+        ef = ef2[slot]
+        interior, _ = _slab_masks(n, si, sj, sk, fs)
+        nbr, cen = _nbr_sum(eu)
+        rr = ef[1:-1] - inv_h2 * (nbr - 6.0 * cen)
+        rr = jnp.where(interior[1:-1], rr, jnp.zeros_like(rr))
+
+        dtype = rr.dtype
+        aj = _band_matrix(sjc, sj, nc - 2, dtype)
+        ak_t = _band_matrix(skc, sk, nc - 2, dtype).T
+        jj = jax.lax.broadcasted_iota(jnp.int32, (sjc, skc), 0)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (sjc, skc), 1)
+        colmask = (jj >= 1) & (jj <= nc - 2) & (kk >= 1) & (kk <= nc - 2)
+
+        # tile slot reused from block i-2: its out-DMA must have landed.
+        @pl.when(i >= 2)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, row_base_of(i - 2)).wait()
+
+        for t in range(bi):
+            # coarse plane row_base+t <- fine residual planes 2t..2t+2
+            plane = 0.25 * rr[2 * t] + 0.5 * rr[2 * t + 1] + 0.25 * rr[2 * t + 2]
+            y = jnp.dot(aj, plane, precision=jax.lax.Precision.HIGHEST)
+            z = jnp.dot(y, ak_t, precision=jax.lax.Precision.HIGHEST)
+            row = row_base + t
+            ok = jnp.logical_and(row >= 1, row <= nc - 2)
+            tile2[slot, t] = jnp.where(
+                jnp.logical_and(ok, colmask), z, jnp.zeros_like(z)
+            )
+
+        out_dma(out_hbm, tile2, sem_o, slot, row_base).start()
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, row_base).wait()
+
+        @pl.when(jnp.logical_and(i == nb - 1, nb >= 2))
+        def _():
+            out_dma(out_hbm, tile2, sem_o, nslot, row_base_of(i - 1)).wait()
+
+    return kernel
+
+
+def rr_fused_block_i(n: int, sj: int, sk: int, itemsize: int = 4, requested: int = 8):
+    """block_i for residual_restrict_fused_padded, or 0 if it doesn't fit
+    VMEM / the grid is too small (caller falls back to separate ops)."""
+    plane = sj * sk * itemsize
+    for bi in (requested, 8, 4, 2):
+        if bi > requested:
+            continue
+        si = 2 * bi + 3
+        est = 2 * 2 * si * plane + 3 * si * plane  # 2 slots x 2 slabs + temps
+        nc = (n + 1) // 2
+        if est <= _VMEM_BUDGET and n >= si and pl.cdiv(nc, bi) >= 2:
+            return bi
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("h", "n", "block_i"))
+def residual_restrict_fused_padded(
+    u_pad: jnp.ndarray, f_pad: jnp.ndarray, h: float, n: int, block_i: int = 8
+):
+    """Fused interior-residual + full-weighting restriction: padded fine
+    (n, sj, sk) u, f -> padded coarse (nc, sjc, skc) RHS, one HBM pass.
+    Caller must check rr_fused_block_i(...) > 0 first."""
+    nc = (n + 1) // 2
+    _, sj, sk = u_pad.shape
+    ncp, sjc, skc = padded_shape(nc)
+    bi = block_i
+    si = 2 * bi + 3
+    nb = pl.cdiv(nc, bi)
+    kernel = _make_residual_restrict_kernel(
+        n, si, sj, sk, bi, h, nc, sjc, skc, nb
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((ncp, sjc, skc), u_pad.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, si, sj, sk), u_pad.dtype),
+            pltpu.VMEM((2, si, sj, sk), u_pad.dtype),
+            pltpu.VMEM((2, bi, sjc, skc), u_pad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+
+    def go(*args):
+        if u_pad.dtype == jnp.float64:
+            return call(*args)
+        with jax.enable_x64(False):
+            return call(*args)
+
+    rc = go(u_pad, f_pad)
+    # Rows 0 and nc-1 are boundary (zero) and outside every block's write
+    # window — the kernel never touches them, so pin them here.
+    z = jnp.zeros((1, sjc, skc), rc.dtype)
+    return jnp.concatenate([z, rc[1 : nc - 1], z], axis=0)
+
+
 # ------------------------------------------------- double-float residual
 
 
