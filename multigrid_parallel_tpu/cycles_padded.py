@@ -148,8 +148,15 @@ def make_padded_correction_cycle(
             rc = restrict_padded(res, n)
         nc = hier32.sizes[level - 1]
         ec = descend(jnp.zeros_like(rc), rc, level - 1)
-        e = prolong_correct_padded(ec, e, nc)
-        e = pk.rb_smooth_fused_pipelined(e, r, h, n_smooth, n, red_first=False)
+        bi_ps = pk.ps_fused_block_i(n, sj, sk, n_smooth, e.dtype.itemsize)
+        if bi_ps:
+            # one HBM pass: interpolate+correct+post-smooth fused
+            e = pk.prolong_smooth_fused_padded(
+                ec, e, r, h, n_smooth, n, block_i=bi_ps
+            )
+        else:
+            e = prolong_correct_padded(ec, e, nc)
+            e = pk.rb_smooth_fused_pipelined(e, r, h, n_smooth, n, red_first=False)
         return e
 
     level = hier32.num_levels - 1

@@ -761,6 +761,208 @@ def residual_restrict_fused_padded(
     return jnp.concatenate([z, rc[1 : nc - 1], z], axis=0)
 
 
+# --------------------------- fused prolong+correct+post-smooth (one pass)
+
+
+def _prolong_band_j(rows, cols, dtype):
+    """(fine rows, coarse cols) linear-interpolation band: 1 at r == 2c,
+    0.5 at r == 2c +- 1 (trilinear separable factor, mg_3d.h:1000-1145)."""
+    a = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    b = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    d = a - 2 * b
+    return jnp.where(
+        d == 0, 1.0, jnp.where(jnp.abs(d) == 1, 0.5, 0.0)
+    ).astype(dtype)
+
+
+def _prolong_band_kt(rows, cols, dtype):
+    """(coarse rows, fine cols) transposed interpolation band."""
+    b = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    a = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    d = a - 2 * b
+    return jnp.where(
+        d == 0, 1.0, jnp.where(jnp.abs(d) == 1, 0.5, 0.0)
+    ).astype(dtype)
+
+
+def _make_prolong_smooth_kernel(n, nc, si, sic, sj, sk, sjc, skc, bi, h,
+                                n_iter, nb):
+    """e' = post_smooth(e + P(ec), r) in ONE pass over the fine grid:
+    block slabs of e and r stream through VMEM (double-buffered), the
+    coarse correction slab (tiny) is DMAed alongside, interpolated in
+    VMEM (j/k on the MXU, i by even-copy/odd-average), added, and the
+    full black-first RB stage runs on the corrected slab. Replaces
+    prolongateAndCorrectError + postSmoother (mg_3d.h:1000-1145, 711-781)
+    with fine-grid HBM traffic of a single smoother stage.
+
+    Layout contract: si = bi + 4*n_iter + 1 is odd and n - si is even,
+    so every slab start is even and fine/coarse parity is static; the
+    slab needs coarse planes [fstart/2, fstart/2 + sic) with
+    sic = (si+1)/2, which never overruns the nc-plane coarse array."""
+    h2 = h * h
+    hh = 2 * n_iter
+
+    def fs_of(blk):
+        return jnp.clip(blk * bi - hh, 0, n - si)
+
+    def in_dma_fine(hbm, ref2, sem2, slot, blk):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(fs_of(blk), si)], ref2.at[slot], sem2.at[slot]
+        )
+
+    def in_dma_coarse(hbm, ref2, sem2, slot, blk):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(fs_of(blk) // 2, sic)], ref2.at[slot], sem2.at[slot]
+        )
+
+    def out_dma(out_hbm, tile2, sem2, slot, blk):
+        out_start = jnp.minimum(blk * bi, n - bi)
+        return pltpu.make_async_copy(
+            tile2.at[slot], out_hbm.at[pl.ds(out_start, bi)], sem2.at[slot]
+        )
+
+    def kernel(ec_hbm, u_hbm, f_hbm, out_hbm, eu2, ef2, ec2, tile2,
+               sem_u, sem_f, sem_c, sem_o):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            in_dma_fine(u_hbm, eu2, sem_u, slot, i).start()
+            in_dma_fine(f_hbm, ef2, sem_f, slot, i).start()
+            in_dma_coarse(ec_hbm, ec2, sem_c, slot, i).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            in_dma_fine(u_hbm, eu2, sem_u, nslot, i + 1).start()
+            in_dma_fine(f_hbm, ef2, sem_f, nslot, i + 1).start()
+            in_dma_coarse(ec_hbm, ec2, sem_c, nslot, i + 1).start()
+
+        in_dma_fine(u_hbm, eu2, sem_u, slot, i).wait()
+        in_dma_fine(f_hbm, ef2, sem_f, slot, i).wait()
+        in_dma_coarse(ec_hbm, ec2, sem_c, slot, i).wait()
+
+        start = fs_of(i)
+        dtype = eu2.dtype
+        pj = _prolong_band_j(sj, sjc, dtype)
+        pkt = _prolong_band_kt(skc, sk, dtype)
+
+        # j/k interpolation of each coarse slab plane (MXU)
+        yc = []
+        for c in range(sic):
+            y = jnp.dot(pj, ec2[slot, c], precision=jax.lax.Precision.HIGHEST)
+            yc.append(jnp.dot(y, pkt, precision=jax.lax.Precision.HIGHEST))
+        # i interpolation: even fine planes copy, odd planes average
+        # (start is even, so local parity == global parity)
+        corr = []
+        for q in range(si):
+            if q % 2 == 0:
+                corr.append(yc[q // 2])
+            else:
+                corr.append(0.5 * (yc[q // 2] + yc[q // 2 + 1]))
+        corr = jnp.stack(corr, axis=0)
+        eu = eu2[slot] + corr
+
+        interior, parity = _slab_masks(n, si, sj, sk, start)
+        ef = ef2[slot]
+        masks = {c: interior[1:-1] & (parity[1:-1] == c) for c in (BLACK, RED)}
+        for _ in range(n_iter):
+            for c in (BLACK, RED):  # postSmoother order (mg_3d.h:711-781)
+                nbr, cen = _nbr_sum(eu)
+                upd = (nbr - h2 * ef[1:-1]) * (1.0 / 6.0)
+                mid = jnp.where(masks[c], upd, cen)
+                eu = jnp.concatenate([eu[:1], mid, eu[-1:]], axis=0)
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i - 2).wait()
+
+        eu2[slot, :] = eu
+        out_start = jnp.minimum(i * bi, n - bi)
+        tile2[slot, :] = eu2[slot, pl.ds(out_start - start, bi)]
+        out_dma(out_hbm, tile2, sem_o, slot, i).start()
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i).wait()
+
+        @pl.when(jnp.logical_and(i == nb - 1, nb >= 2))
+        def _():
+            out_dma(out_hbm, tile2, sem_o, nslot, i - 1).wait()
+
+    return kernel
+
+
+def ps_fused_block_i(n: int, sj: int, sk: int, n_iter: int,
+                     itemsize: int = 4, requested: int = 8):
+    """block_i for prolong_smooth_fused_padded, or 0 (caller falls back)."""
+    plane = sj * sk * itemsize
+    for bi in (requested, 8, 4, 2):
+        if bi > requested:
+            continue
+        si = bi + 4 * n_iter + 1
+        est = 2 * 2 * si * plane + 4 * si * plane + 2 * bi * plane
+        if est <= _VMEM_BUDGET and n >= si and pl.cdiv(n, bi) >= 2:
+            return bi
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("h", "n_iter", "n", "block_i"))
+def prolong_smooth_fused_padded(
+    ec_pad: jnp.ndarray,
+    e_pad: jnp.ndarray,
+    r_pad: jnp.ndarray,
+    h: float,
+    n_iter: int,
+    n: int,
+    block_i: int = 8,
+):
+    """post_smooth(e + trilinear(ec), r) fused in one fine-grid HBM pass.
+    ec_pad is the coarse padded correction, e/r the fine padded arrays.
+    Caller must check ps_fused_block_i(...) > 0 first."""
+    nc = (n + 1) // 2
+    _, sj, sk = e_pad.shape
+    _, sjc, skc = ec_pad.shape
+    bi = block_i
+    si = bi + 4 * n_iter + 1
+    sic = (si + 1) // 2
+    nb = pl.cdiv(n, bi)
+    kernel = _make_prolong_smooth_kernel(
+        n, nc, si, sic, sj, sk, sjc, skc, bi, h, n_iter, nb
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((n, sj, sk), e_pad.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, si, sj, sk), e_pad.dtype),
+            pltpu.VMEM((2, si, sj, sk), e_pad.dtype),
+            pltpu.VMEM((2, sic, sjc, skc), e_pad.dtype),
+            pltpu.VMEM((2, bi, sj, sk), e_pad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+
+    def go(*args):
+        if e_pad.dtype == jnp.float64:
+            return call(*args)
+        with jax.enable_x64(False):
+            return call(*args)
+
+    return go(ec_pad, e_pad, r_pad)
+
+
 # ------------------------------------------------- double-float residual
 
 
