@@ -196,18 +196,20 @@ def make_on_device_df_solver(
     h = hier.spacing(level)
 
     def residual(u_hi, u_lo, f_hi, f_lo):
-        return pk.residual_df_fused_padded(u_hi, u_lo, f_hi, f_lo, h, n)
+        # fused EFT residual + ||r||^2 (one HBM pass)
+        r, nrm2 = pk.residual_df_norm_fused_padded(u_hi, u_lo, f_hi, f_lo, h, n)
+        return r, jnp.sqrt(nrm2)
 
     def body(state):
         u_hi, u_lo, r, nrm, it, f_hi, f_lo = state
-        safe = jnp.maximum(nrm, jnp.asarray(1e-30, dtype=nrm.dtype))
-        r32 = r / safe
-        e = jnp.zeros_like(r32)
+        # The V-cycle is linear in r, and f32 relative precision is
+        # scale-invariant, so no normalize/scale-back passes are needed
+        # (unlike the f64-outer mixed solver, this range cannot overflow).
+        e = jnp.zeros_like(r)
         for _ in range(inner_cycles):  # static unroll
-            e = inner(e, r32)
-        u_hi, u_lo = pk.df_add(u_hi, u_lo, safe * e)
-        r = residual(u_hi, u_lo, f_hi, f_lo)
-        nrm = jnp.sqrt(jnp.sum(r.astype(jnp.float32) * r))
+            e = inner(e, r)
+        u_hi, u_lo = pk.df_add(u_hi, u_lo, e)
+        r, nrm = residual(u_hi, u_lo, f_hi, f_lo)
         return u_hi, u_lo, r, nrm, it + 1, f_hi, f_lo
 
     @jax.jit
@@ -219,8 +221,7 @@ def make_on_device_df_solver(
             nrm, it = state[3], state[4]
             return jnp.logical_and(nrm > tol, it < max_cycles)
 
-        r0 = residual(u_hi, u_lo, f_hi, f_lo)
-        n0 = jnp.sqrt(jnp.sum(r0 * r0))
+        r0, n0 = residual(u_hi, u_lo, f_hi, f_lo)
         out = jax.lax.while_loop(
             cond, body, (u_hi, u_lo, r0, n0, jnp.asarray(0), f_hi, f_lo)
         )

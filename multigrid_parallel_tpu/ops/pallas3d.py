@@ -1004,6 +1004,119 @@ def _eft_residual(f_hi, f_lo, hi_center, hi_nbrs, lo_center, lo_nbrs, inv_h2):
     return r + (f_lo - inv_h2 * (c_hi + s_lo + c_lo) + e1)
 
 
+def _make_residual_df_norm_kernel(n, si, sj, sk, bi, h, nb):
+    """residual_df kernel that ALSO accumulates ||r||^2 across blocks in
+    SMEM and emits it as a (1,1) second output — the norm reduction never
+    re-reads the residual from HBM. Blocks own disjoint plane ranges
+    [i*bi, (i+1)*bi) for the sum (the clamped tail tile overlaps, so the
+    overlap is masked out of the partial)."""
+    inv_h2 = 1.0 / (h * h)
+
+    def kernel(uhi_hbm, ulo_hbm, fhi_hbm, flo_hbm, out_hbm, nrm_ref,
+               ehi_ref, elo_ref, efh_ref, efl_ref, tile_ref, acc_ref, sem):
+        i = pl.program_id(0)
+        start = jnp.clip(i * bi - 1, 0, n - si)
+        for hbm, ref, s_idx in (
+            (uhi_hbm, ehi_ref, 0), (ulo_hbm, elo_ref, 1),
+            (fhi_hbm, efh_ref, 2), (flo_hbm, efl_ref, 3),
+        ):
+            pltpu.make_async_copy(hbm.at[pl.ds(start, si)], ref, sem.at[s_idx]).start()
+        for hbm, ref, s_idx in (
+            (uhi_hbm, ehi_ref, 0), (ulo_hbm, elo_ref, 1),
+            (fhi_hbm, efh_ref, 2), (flo_hbm, efl_ref, 3),
+        ):
+            pltpu.make_async_copy(hbm.at[pl.ds(start, si)], ref, sem.at[s_idx]).wait()
+
+        interior, _ = _slab_masks(n, si, sj, sk, start)
+
+        def slab_nbrs(e):
+            x = e[1:-1]
+            return x, [
+                e[:-2], e[2:],
+                _roll(x, 1, 1), _roll(x, -1, 1),
+                _roll(x, 1, 2), _roll(x, -1, 2),
+            ]
+
+        hi_c, hi_n = slab_nbrs(ehi_ref[:])
+        lo_c, lo_n = slab_nbrs(elo_ref[:])
+        r = _eft_residual(
+            efh_ref[1:-1], efl_ref[1:-1], hi_c, hi_n, lo_c, lo_n, inv_h2
+        )
+        z = jnp.zeros((1, sj, sk), r.dtype)
+        r = jnp.concatenate([z, r, z], axis=0)
+        r = jnp.where(interior, r, jnp.zeros_like(r))
+
+        # partial ||r||^2 over this block's OWNED planes only
+        gg = jax.lax.broadcasted_iota(jnp.int32, (si, 1, 1), 0) + start
+        owned = (gg >= i * bi) & (gg < (i + 1) * bi)
+        part = jnp.sum(jnp.where(owned, r * r, jnp.zeros_like(r)))
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[0, 0] = jnp.zeros((), r.dtype)
+
+        acc_ref[0, 0] = acc_ref[0, 0] + part
+
+        @pl.when(i == nb - 1)
+        def _():
+            nrm_ref[0, 0] = acc_ref[0, 0]
+
+        efh_ref[:] = r  # staging for the ds-read
+        out_start = jnp.minimum(i * bi, n - bi)
+        _write_tile(efh_ref, out_hbm, tile_ref, sem, out_start - start, out_start, bi)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("h", "n", "block_i"))
+def residual_df_norm_fused_padded(
+    u_hi, u_lo, f_hi, f_lo, h: float, n: int, block_i: int = 8
+):
+    """(r_hi, ||r||^2) in one fused pass (see _make_residual_df_norm_kernel)."""
+    _, sj, sk = u_hi.shape
+    bi = _auto_block_i(n, sj, sk, 2, 2 * u_hi.dtype.itemsize, False, block_i)
+    si = bi + 2
+    if bi == 0:
+        r = _residual_df_jnp(u_hi, u_lo, f_hi, f_lo, h, n)
+        return r, jnp.sum(r * r)
+    nb = pl.cdiv(n, bi)
+    kernel = _make_residual_df_norm_kernel(n, si, sj, sk, bi, h, nb)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, sj, sk), u_hi.dtype),
+            jax.ShapeDtypeStruct((1, 1), u_hi.dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((si, sj, sk), u_hi.dtype),
+            pltpu.VMEM((si, sj, sk), u_hi.dtype),
+            pltpu.VMEM((si, sj, sk), u_hi.dtype),
+            pltpu.VMEM((si, sj, sk), u_hi.dtype),
+            pltpu.VMEM((bi, sj, sk), u_hi.dtype),
+            pltpu.SMEM((1, 1), u_hi.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+
+    def go(*args):
+        with jax.enable_x64(False):
+            return call(*args)
+
+    r, nrm2 = go(u_hi, u_lo, f_hi, f_lo)
+    return r, nrm2[0, 0]
+
+
 def _make_residual_df_kernel(n, si, sj, sk, bi, h):
     """Compensated f32 residual of a double-float solution u = u_hi+u_lo:
     r_hi ~= f - (1/h^2)(sum6 u - 6u) accurate to ~1e-14 relative.
