@@ -137,7 +137,11 @@ def make_padded_correction_cycle(
         # NOTE: measured FASTER than the fused smooth+residual kernel
         # (rb_smooth_residual_fused_padded): the fusion's larger halo and
         # single-buffered DMA cost more than the saved HBM pass.
-        e = pk.rb_smooth_fused_pipelined(e, r, h, n_smooth, n, red_first=True)
+        # block_i=16 measured fastest at 257^3 (less trapezoidal-halo
+        # redundancy); the planner downgrades it on smaller levels.
+        e = pk.rb_smooth_fused_pipelined(
+            e, r, h, n_smooth, n, red_first=True, block_i=16
+        )
         _, sj, sk = e.shape
         bi_rr = pk.rr_fused_block_i(n, sj, sk, e.dtype.itemsize)
         if bi_rr:
