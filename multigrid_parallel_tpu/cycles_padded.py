@@ -204,6 +204,9 @@ def make_on_device_df_solver(
         r, nrm2 = pk.residual_df_norm_fused_padded(u_hi, u_lo, f_hi, f_lo, h, n)
         return r, jnp.sqrt(nrm2)
 
+    _, sj_f, sk_f = pk.padded_shape(n)
+    bi_step = pk.df_step_block_i(n, sj_f, sk_f)
+
     def body(state):
         u_hi, u_lo, r, nrm, it, f_hi, f_lo = state
         # The V-cycle is linear in r, and f32 relative precision is
@@ -212,8 +215,15 @@ def make_on_device_df_solver(
         e = jnp.zeros_like(r)
         for _ in range(inner_cycles):  # static unroll
             e = inner(e, r)
-        u_hi, u_lo = pk.df_add(u_hi, u_lo, e)
-        r, nrm = residual(u_hi, u_lo, f_hi, f_lo)
+        if bi_step:
+            # fused df_add + EFT residual + norm (one pass)
+            u_hi, u_lo, r, nrm2 = pk.df_step_residual_norm_fused(
+                u_hi, u_lo, e, f_hi, f_lo, h, n, block_i=bi_step
+            )
+            nrm = jnp.sqrt(nrm2)
+        else:
+            u_hi, u_lo = pk.df_add(u_hi, u_lo, e)
+            r, nrm = residual(u_hi, u_lo, f_hi, f_lo)
         return u_hi, u_lo, r, nrm, it + 1, f_hi, f_lo
 
     @jax.jit
