@@ -117,12 +117,61 @@ def prolong_correct_padded(ec: jnp.ndarray, ef: jnp.ndarray, nc: int) -> jnp.nda
     return ef + t
 
 
+def _padded_masks(n: int, sj: int, sk: int, color=None):
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, sj, 1), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sk), 2)
+    interior = (
+        (ii >= 1) & (ii <= n - 2) & (jj >= 1) & (jj <= n - 2)
+        & (kk >= 1) & (kk <= n - 2)
+    )
+    if color is None:
+        return interior
+    return interior & (((ii + jj + kk) % 2) == color)
+
+
+def _rb_smooth_padded_jnp(e, r, h, n_iter, n, red_first=True):
+    """Masked-roll RB smoother directly on the padded layout — used for
+    small levels where Pallas launch overhead exceeds the compute (XLA
+    fuses the whole small-level subtree into a few kernels)."""
+    h2 = h * h
+    sj, sk = e.shape[1], e.shape[2]
+    colors = (ops3.RED, ops3.BLACK) if red_first else (ops3.BLACK, ops3.RED)
+    masks = {c: _padded_masks(n, sj, sk, c) for c in set(colors)}
+    for _ in range(n_iter):
+        for c in colors:
+            nbr = (
+                jnp.roll(e, 1, 0) + jnp.roll(e, -1, 0)
+                + jnp.roll(e, 1, 1) + jnp.roll(e, -1, 1)
+                + jnp.roll(e, 1, 2) + jnp.roll(e, -1, 2)
+            )
+            e = jnp.where(masks[c], (nbr - h2 * r) * (1.0 / 6.0), e)
+    return e
+
+
+def _residual_padded_jnp(e, r, h, n):
+    inv_h2 = 1.0 / (h * h)
+    nbr = (
+        jnp.roll(e, 1, 0) + jnp.roll(e, -1, 0)
+        + jnp.roll(e, 1, 1) + jnp.roll(e, -1, 1)
+        + jnp.roll(e, 1, 2) + jnp.roll(e, -1, 2)
+    )
+    res = r - inv_h2 * (nbr - 6.0 * e)
+    mask = _padded_masks(n, e.shape[1], e.shape[2])
+    return jnp.where(mask, res, jnp.zeros_like(res))
+
+
+_JNP_LEVEL_MAX = 33  # levels at or below this size skip Pallas launches
+
+
 def make_padded_correction_cycle(
     hier32: Hierarchy, cfg: CycleConfig
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Build cycle(e_pad, r_pad) -> e_pad': one V-cycle on the correction
     equation A e = r at the finest level (both padded f32), Pallas
-    smoother/residual + padded matmul transfers; coarse direct solve."""
+    smoother/residual + padded matmul transfers; coarse direct solve.
+    Levels <= _JNP_LEVEL_MAX use the masked-roll XLA path instead (their
+    data fits on-core; Pallas launch overhead dominates there)."""
     coarse_solve = coarse_ops.make_coarse_solver(
         hier32.coarse_n, hier32.spacing(0), 3, hier32.dtype, cfg.coarse_method
     )
@@ -134,6 +183,12 @@ def make_padded_correction_cycle(
             x = coarse_solve(pk.unpad3(r, n))
             return pk.pad3(ops3.zero_boundary(x))
         h = hier32.spacing(level)
+        if n <= _JNP_LEVEL_MAX:
+            e = _rb_smooth_padded_jnp(e, r, h, n_smooth, n, red_first=True)
+            rc = restrict_padded(_residual_padded_jnp(e, r, h, n), n)
+            ec = descend(jnp.zeros_like(rc), rc, level - 1)
+            e = prolong_correct_padded(ec, e, hier32.sizes[level - 1])
+            return _rb_smooth_padded_jnp(e, r, h, n_smooth, n, red_first=False)
         # NOTE: measured FASTER than the fused smooth+residual kernel
         # (rb_smooth_residual_fused_padded): the fusion's larger halo and
         # single-buffered DMA cost more than the saved HBM pass.
