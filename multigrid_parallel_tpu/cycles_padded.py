@@ -177,16 +177,20 @@ def make_padded_correction_cycle(
     )
     n_smooth = cfg.n_smooth
 
-    def descend(e, r, level):
+    def descend(e, r, level, from_zero=False):
+        """One correction V-cycle level; e=None with from_zero=True means
+        a zero initial guess (no zeros array is materialized)."""
         n = hier32.sizes[level]
         if level == 0:
             x = coarse_solve(pk.unpad3(r, n))
             return pk.pad3(ops3.zero_boundary(x))
         h = hier32.spacing(level)
         if n <= _JNP_LEVEL_MAX:
+            if from_zero:
+                e = jnp.zeros_like(r)  # tiny level: XLA folds this
             e = _rb_smooth_padded_jnp(e, r, h, n_smooth, n, red_first=True)
             rc = restrict_padded(_residual_padded_jnp(e, r, h, n), n)
-            ec = descend(jnp.zeros_like(rc), rc, level - 1)
+            ec = descend(None, rc, level - 1, from_zero=True)
             e = prolong_correct_padded(ec, e, hier32.sizes[level - 1])
             return _rb_smooth_padded_jnp(e, r, h, n_smooth, n, red_first=False)
         # NOTE: measured FASTER than the fused smooth+residual kernel
@@ -194,9 +198,14 @@ def make_padded_correction_cycle(
         # single-buffered DMA cost more than the saved HBM pass.
         # block_i=16 measured fastest at 257^3 (less trapezoidal-halo
         # redundancy); the planner downgrades it on smaller levels.
-        e = pk.rb_smooth_fused_pipelined(
-            e, r, h, n_smooth, n, red_first=True, block_i=16
-        )
+        if from_zero:
+            e = pk.rb_smooth_from_zero_fused(
+                r, h, n_smooth, n, red_first=True, block_i=16
+            )
+        else:
+            e = pk.rb_smooth_fused_pipelined(
+                e, r, h, n_smooth, n, red_first=True, block_i=16
+            )
         _, sj, sk = e.shape
         bi_rr = pk.rr_fused_block_i(n, sj, sk, e.dtype.itemsize)
         if bi_rr:
@@ -206,7 +215,7 @@ def make_padded_correction_cycle(
             res = pk.residual_fused_pipelined(e, r, h, n)
             rc = restrict_padded(res, n)
         nc = hier32.sizes[level - 1]
-        ec = descend(jnp.zeros_like(rc), rc, level - 1)
+        ec = descend(None, rc, level - 1, from_zero=True)
         bi_ps = pk.ps_fused_block_i(n, sj, sk, n_smooth, e.dtype.itemsize)
         if bi_ps:
             # one HBM pass: interpolate+correct+post-smooth fused
@@ -220,8 +229,8 @@ def make_padded_correction_cycle(
 
     level = hier32.num_levels - 1
 
-    def cycle(e, r):
-        return descend(e, r, level)
+    def cycle(e, r, from_zero=False):
+        return descend(e, r, level, from_zero=from_zero)
 
     return cycle
 
@@ -267,8 +276,8 @@ def make_on_device_df_solver(
         # The V-cycle is linear in r, and f32 relative precision is
         # scale-invariant, so no normalize/scale-back passes are needed
         # (unlike the f64-outer mixed solver, this range cannot overflow).
-        e = jnp.zeros_like(r)
-        for _ in range(inner_cycles):  # static unroll
+        e = inner(None, r, from_zero=True)
+        for _ in range(inner_cycles - 1):  # static unroll
             e = inner(e, r)
         if bi_step:
             # fused df_add + EFT residual + norm (one pass)
@@ -342,8 +351,8 @@ def make_on_device_mixed_solver_pallas(
         u, r, nrm, it, f = state
         safe = jnp.maximum(nrm, jnp.asarray(1e-300, dtype=u.dtype))
         r32 = pk.pad3((r / safe).astype(f32))
-        e = jnp.zeros_like(r32)
-        for _ in range(inner_cycles):  # static unroll
+        e = inner(None, r32, from_zero=True)
+        for _ in range(inner_cycles - 1):  # static unroll
             e = inner(e, r32)
         u = u + safe * pk.unpad3(e, n).astype(u.dtype)
         r = ops3.residual(u, f, h)

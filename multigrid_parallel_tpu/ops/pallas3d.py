@@ -316,6 +316,118 @@ def _make_rb_kernel_pipelined(n, si, sj, sk, bi, h, n_iter, red_first, nb):
     )
 
 
+def _make_rb_from_zero_kernel(n, si, sj, sk, bi, h, n_iter, red_first, nb):
+    """Pipelined RB stage with e == 0: only the RHS streams in (the
+    first correction smooth of every level/defect step starts from a
+    zero guess — no zeros array is materialized or read)."""
+    halo = 2 * n_iter
+    body = _rb_body(h, n_iter, red_first)
+
+    def in_dma(hbm, ref2, sem2, slot, blk):
+        start = jnp.clip(blk * bi - halo, 0, n - si)
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(start, si)], ref2.at[slot], sem2.at[slot]
+        )
+
+    def out_dma(out_hbm, tile2, sem2, slot, blk):
+        out_start = jnp.minimum(blk * bi, n - bi)
+        return pltpu.make_async_copy(
+            tile2.at[slot], out_hbm.at[pl.ds(out_start, bi)], sem2.at[slot]
+        )
+
+    def kernel(f_hbm, out_hbm, ef2, stage2, tile2, sem_f, sem_o):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            in_dma(f_hbm, ef2, sem_f, slot, i).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            in_dma(f_hbm, ef2, sem_f, nslot, i + 1).start()
+
+        in_dma(f_hbm, ef2, sem_f, slot, i).wait()
+
+        start = jnp.clip(i * bi - halo, 0, n - si)
+        interior, parity = _slab_masks(n, si, sj, sk, start)
+        ef = ef2[slot]
+        out_slab = body(jnp.zeros_like(ef), ef, interior, parity)
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i - 2).wait()
+
+        stage2[slot, :] = out_slab
+        out_start = jnp.minimum(i * bi, n - bi)
+        tile2[slot, :] = stage2[slot, pl.ds(out_start - start, bi)]
+        out_dma(out_hbm, tile2, sem_o, slot, i).start()
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i).wait()
+
+        @pl.when(jnp.logical_and(i == nb - 1, nb >= 2))
+        def _():
+            out_dma(out_hbm, tile2, sem_o, nslot, i - 1).wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "n_iter", "n", "red_first", "block_i")
+)
+def rb_smooth_from_zero_fused(
+    f_pad: jnp.ndarray,
+    h: float,
+    n_iter: int,
+    n: int,
+    red_first: bool = True,
+    block_i: int = 16,
+):
+    """rb_smooth_fused_pipelined with an implicit zero initial guess
+    (reads only f). Falls back to the general kernel on tiny levels."""
+    _, sj, sk = f_pad.shape
+    hh = 2 * n_iter
+    bi = _auto_block_i(n, sj, sk, hh, f_pad.dtype.itemsize, True, block_i)
+    nb = pl.cdiv(n, bi) if bi else 0
+    if bi == 0 or nb < 2:
+        return rb_smooth_fused_pipelined(
+            jnp.zeros_like(f_pad), f_pad, h, n_iter, n,
+            red_first=red_first, block_i=block_i,
+        )
+    si = bi + 2 * hh
+    kernel = _make_rb_from_zero_kernel(n, si, sj, sk, bi, h, n_iter, red_first, nb)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((n, sj, sk), f_pad.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, si, sj, sk), f_pad.dtype),
+            pltpu.VMEM((2, si, sj, sk), f_pad.dtype),
+            pltpu.VMEM((2, bi, sj, sk), f_pad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+
+    def go(*args):
+        if f_pad.dtype == jnp.float64:
+            return call(*args)
+        with jax.enable_x64(False):
+            return call(*args)
+
+    return go(f_pad)
+
+
 def _pallas_stencil_call_pipelined(kernel, n, si, sj, sk, bi, dtype):
     call = pl.pallas_call(
         kernel,
