@@ -165,13 +165,15 @@ _JNP_LEVEL_MAX = 33  # levels at or below this size skip Pallas launches
 
 
 def make_padded_correction_cycle(
-    hier32: Hierarchy, cfg: CycleConfig
+    hier32: Hierarchy, cfg: CycleConfig, jnp_level_max: int = _JNP_LEVEL_MAX
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Build cycle(e_pad, r_pad) -> e_pad': one V-cycle on the correction
     equation A e = r at the finest level (both padded f32), Pallas
     smoother/residual + padded matmul transfers; coarse direct solve.
-    Levels <= _JNP_LEVEL_MAX use the masked-roll XLA path instead (their
-    data fits on-core; Pallas launch overhead dominates there)."""
+    Levels <= ``jnp_level_max`` use the masked-roll XLA path instead
+    (their data fits on-core; Pallas launch overhead dominates there —
+    see scripts/bench_suite.py's crossover sweep). Tests inject a small
+    ``jnp_level_max`` to force the Pallas kernels at test-sized grids."""
     coarse_solve = coarse_ops.make_coarse_solver(
         hier32.coarse_n, hier32.spacing(0), 3, hier32.dtype, cfg.coarse_method
     )
@@ -185,7 +187,7 @@ def make_padded_correction_cycle(
             x = coarse_solve(pk.unpad3(r, n))
             return pk.pad3(ops3.zero_boundary(x))
         h = hier32.spacing(level)
-        if n <= _JNP_LEVEL_MAX:
+        if n <= jnp_level_max:
             if from_zero:
                 e = jnp.zeros_like(r)  # tiny level: XLA folds this
             e = _rb_smooth_padded_jnp(e, r, h, n_smooth, n, red_first=True)
@@ -241,6 +243,7 @@ def make_on_device_df_solver(
     rel_tol: float = 1e-8,
     max_cycles: int = 40,
     inner_cycles: int = 4,
+    jnp_level_max: int = _JNP_LEVEL_MAX,
 ):
     """run(u_hi, u_lo, f_hi, f_lo) -> (u_hi, u_lo, norm, n_outer):
     the all-f32 performance solver. The f64 state of the mixed solver is
@@ -258,7 +261,7 @@ def make_on_device_df_solver(
 
     f32 = jnp.float32
     hier32 = dataclasses.replace(hier, dtype=f32)
-    inner = make_padded_correction_cycle(hier32, cfg)
+    inner = make_padded_correction_cycle(hier32, cfg, jnp_level_max)
     level = hier.num_levels - 1
     n = hier.sizes[level]
     h = hier.spacing(level)
