@@ -21,6 +21,8 @@ comparable. Prints exactly one JSON line.
 """
 
 import json
+import statistics
+import sys
 import time
 
 import jax
@@ -38,15 +40,18 @@ REL_TOL = 1e-8  # the reference driver's tolerance (test_mg_3d.c:19)
 INNER_CYCLES = 4  # f32 V-cycles per f64 defect-correction step
 
 
-def run(levels: int = 7, n_smooth: int = 2, repeats: int = 6):
+def run(levels: int = 7, n_smooth: int = 2, repeats: int = 6,
+        use_fmg: bool = False, inner_cycles: int = INNER_CYCLES):
     # repeats=6 best-of: the dev chip is shared and per-run contention
-    # varies ~30%; quiet-window wall time at 257^3 is ~0.087 s.
+    # varies ~30%; median is reported alongside so the recorded artifact
+    # carries both the contention floor and the typical run.
     hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=levels)  # 257^3
     cfg = mg.CycleConfig(n_smooth=n_smooth)
     problem = mg.poisson_3d_quadratic()
 
     solver = make_on_device_df_solver(
-        hier, cfg, rel_tol=REL_TOL, max_cycles=40, inner_cycles=INNER_CYCLES
+        hier, cfg, rel_tol=REL_TOL, max_cycles=40,
+        inner_cycles=inner_cycles, use_fmg=use_fmg,
     )
     u_hi, u_lo, f_hi, f_lo = setup_df_problem(problem, hier)
     init = float((f_hi.astype("float64") ** 2).sum() ** 0.5)
@@ -56,16 +61,19 @@ def run(levels: int = 7, n_smooth: int = 2, repeats: int = 6):
     norm, n_outer = float(norm), int(n_outer)
     assert norm <= REL_TOL * init, (norm, init)
 
-    best = float("inf")
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         _, _, norm_d, it_d = solver(u_hi, u_lo, f_hi, f_lo)
         norm, n_outer = float(norm_d), int(it_d)  # host sync
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    median = statistics.median(times)
 
     n = hier.finest_n
     interior = (n - 2) ** 3
-    n_cycles = n_outer * INNER_CYCLES
+    # FMG bootstrap work ~ one extra V-cycle equivalent across levels
+    n_cycles = n_outer * inner_cycles + (1 if use_fmg else 0)
     # 1.14: sum over levels of (1/8)^k work ratio (BASELINE.md derivation)
     updates = n_cycles * 4 * interior * 1.14
     mups = updates / best / 1e6
@@ -76,8 +84,14 @@ def run(levels: int = 7, n_smooth: int = 2, repeats: int = 6):
         "vs_baseline": round(mups / BASELINE_MUPS, 2),
         "detail": {
             "wall_time_s": round(best, 4),
+            "wall_time_median_s": round(median, 4),
+            "vs_baseline_median": round(
+                updates / median / 1e6 / BASELINE_MUPS, 2
+            ),
             "n_vcycles": n_cycles,
             "n_outer_defect_steps": n_outer,
+            "inner_cycles": inner_cycles,
+            "use_fmg": use_fmg,
             "rel_tol": REL_TOL,
             "final_residual": norm,
             "initial_residual": init,
@@ -90,4 +104,4 @@ def run(levels: int = 7, n_smooth: int = 2, repeats: int = 6):
 
 
 if __name__ == "__main__":
-    print(json.dumps(run()))
+    print(json.dumps(run(use_fmg="--fmg" in sys.argv)))

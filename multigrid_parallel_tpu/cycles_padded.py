@@ -164,19 +164,18 @@ def _residual_padded_jnp(e, r, h, n):
 _JNP_LEVEL_MAX = 33  # levels at or below this size skip Pallas launches
 
 
-def make_padded_correction_cycle(
-    hier32: Hierarchy, cfg: CycleConfig, jnp_level_max: int = _JNP_LEVEL_MAX
-) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
-    """Build cycle(e_pad, r_pad) -> e_pad': one V-cycle on the correction
-    equation A e = r at the finest level (both padded f32), Pallas
-    smoother/residual + padded matmul transfers; coarse direct solve.
+def _make_descend(
+    hier32: Hierarchy,
+    cfg: CycleConfig,
+    coarse_solve,
+    jnp_level_max: int = _JNP_LEVEL_MAX,
+):
+    """Build descend(e_pad, r_pad, level, from_zero) -> e_pad': one
+    correction V-cycle from ``level`` down, padded layout end-to-end.
     Levels <= ``jnp_level_max`` use the masked-roll XLA path instead
     (their data fits on-core; Pallas launch overhead dominates there —
     see scripts/bench_suite.py's crossover sweep). Tests inject a small
     ``jnp_level_max`` to force the Pallas kernels at test-sized grids."""
-    coarse_solve = coarse_ops.make_coarse_solver(
-        hier32.coarse_n, hier32.spacing(0), 3, hier32.dtype, cfg.coarse_method
-    )
     n_smooth = cfg.n_smooth
 
     def descend(e, r, level, from_zero=False):
@@ -229,12 +228,66 @@ def make_padded_correction_cycle(
             e = pk.rb_smooth_fused_pipelined(e, r, h, n_smooth, n, red_first=False)
         return e
 
+    return descend
+
+
+def make_padded_correction_cycle(
+    hier32: Hierarchy, cfg: CycleConfig, jnp_level_max: int = _JNP_LEVEL_MAX
+) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Build cycle(e_pad, r_pad) -> e_pad': one V-cycle on the correction
+    equation A e = r at the finest level (both padded f32), Pallas
+    smoother/residual + padded matmul transfers; coarse direct solve."""
+    coarse_solve = coarse_ops.make_coarse_solver(
+        hier32.coarse_n, hier32.spacing(0), 3, hier32.dtype, cfg.coarse_method
+    )
+    descend = _make_descend(hier32, cfg, coarse_solve, jnp_level_max)
     level = hier32.num_levels - 1
 
     def cycle(e, r, from_zero=False):
         return descend(e, r, level, from_zero=from_zero)
 
     return cycle
+
+
+def make_padded_fmg_bootstrap(
+    hier32: Hierarchy, cfg: CycleConfig, jnp_level_max: int = _JNP_LEVEL_MAX
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Build bootstrap(r_pad) -> e_pad: a full-multigrid pass on the
+    CORRECTION equation A e = r, entirely in the padded f32 layout.
+
+    TPU-first recast of SolverFMGInitialize (/root/reference/
+    mg_dirichlet_analytic.c:771-806): the reference runs FMG on the full
+    solution u (prolong up, re-impose BCs per level, one V-cycle). For a
+    linear problem that is exactly u0 + FMG on the defect equation
+    r = f - A u0, whose fields have ZERO boundaries — so the padded
+    correction kernels apply unchanged and no per-level BC re-imposition
+    pass is needed. Coarser RHS are full-weighting restrictions of r
+    (the reference re-evaluates per level; see cycles.fmg_initialize for
+    the documented deviation)."""
+    coarse_solve = coarse_ops.make_coarse_solver(
+        hier32.coarse_n, hier32.spacing(0), 3, hier32.dtype, cfg.coarse_method
+    )
+    descend = _make_descend(hier32, cfg, coarse_solve, jnp_level_max)
+    top = hier32.num_levels - 1
+
+    def bootstrap(r):
+        rs = [r]  # finest first
+        for level in range(top, 0, -1):
+            rs.append(restrict_padded(rs[-1], hier32.sizes[level]))
+        rs.reverse()  # coarsest first
+        e = pk.pad3(
+            ops3.zero_boundary(coarse_solve(pk.unpad3(rs[0], hier32.sizes[0])))
+        )
+        for level in range(1, hier32.num_levels):
+            nc = hier32.sizes[level - 1]
+            nf = hier32.sizes[level]
+            ef = prolong_correct_padded(
+                e, jnp.zeros(pk.padded_shape(nf), r.dtype), nc
+            )
+            e = descend(ef, rs[level], level)
+        return e
+
+    return bootstrap
 
 
 def make_on_device_df_solver(
@@ -244,6 +297,7 @@ def make_on_device_df_solver(
     max_cycles: int = 40,
     inner_cycles: int = 4,
     jnp_level_max: int = _JNP_LEVEL_MAX,
+    use_fmg: bool = False,
 ):
     """run(u_hi, u_lo, f_hi, f_lo) -> (u_hi, u_lo, norm, n_outer):
     the all-f32 performance solver. The f64 state of the mixed solver is
@@ -254,6 +308,12 @@ def make_on_device_df_solver(
 
     All arrays live in the padded layout for the whole solve; callers
     use setup_df_problem / pallas3d.unpad3+df_to_f64 to convert.
+
+    ``use_fmg``: bootstrap with a full-multigrid pass on the initial
+    defect (make_padded_fmg_bootstrap) before the while_loop — the
+    performance-path analogue of the reference's FMG + V-cycles driver
+    (mg_dirichlet_analytic.c:984-1001). The bootstrap is not counted in
+    n_outer (the reference reports FMG separately).
     """
     import sys
 
@@ -262,6 +322,7 @@ def make_on_device_df_solver(
     f32 = jnp.float32
     hier32 = dataclasses.replace(hier, dtype=f32)
     inner = make_padded_correction_cycle(hier32, cfg, jnp_level_max)
+    fmg = make_padded_fmg_bootstrap(hier32, cfg, jnp_level_max) if use_fmg else None
     level = hier.num_levels - 1
     n = hier.sizes[level]
     h = hier.spacing(level)
@@ -303,6 +364,10 @@ def make_on_device_df_solver(
             return jnp.logical_and(nrm > tol, it < max_cycles)
 
         r0, n0 = residual(u_hi, u_lo, f_hi, f_lo)
+        if fmg is not None:
+            e = fmg(r0)
+            u_hi, u_lo = pk.df_add(u_hi, u_lo, e)
+            r0, n0 = residual(u_hi, u_lo, f_hi, f_lo)
         out = jax.lax.while_loop(
             cond, body, (u_hi, u_lo, r0, n0, jnp.asarray(0), f_hi, f_lo)
         )

@@ -119,6 +119,27 @@ def test_padded_cycle_forced_pallas_matches_jnp_cycle():
     )
 
 
+def test_fmg_df_solver_reduces_outer_steps():
+    """FMG bootstrap on the performance path (defect-equation FMG):
+    fewer outer defect steps at equal accuracy — the padded twin of
+    mg_dirichlet_analytic.c's useFMG driver."""
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)  # 33^3
+    cfg = CycleConfig(n_smooth=2)
+    st = cp.setup_df_problem(poisson_3d_quadratic(), hier)
+    outs = {}
+    for fmg in (False, True):
+        run = cp.make_on_device_df_solver(
+            hier, cfg, rel_tol=1e-8, inner_cycles=1, use_fmg=fmg
+        )
+        u_hi, u_lo, norm, n_outer = run(*st)
+        u = pk.unpad3(pk.df_to_f64(u_hi, u_lo), hier.finest_n)
+        exact = evaluate_on_grid(poisson_3d_quadratic().analytic, hier, 3)
+        err = float(jnp.sqrt(jnp.sum((u - exact) ** 2)))
+        assert err < 2e-8, (fmg, err)
+        outs[fmg] = int(n_outer)
+    assert outs[True] < outs[False], outs
+
+
 def test_df_solver_forced_pallas_converges_to_oracle():
     """The full double-float performance solver with every Pallas kernel
     forced on (jnp_level_max=9) — the 257^3 bench path's code shape at a
