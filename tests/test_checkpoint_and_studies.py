@@ -67,3 +67,14 @@ def test_smoother_study_50cubed_reference_fingerprint():
     # the published 0.983675 equals our asymptotic pair-ratio squared.
     res = smoother_study(n=50, rel_tol=1e-8, max_iters=400)
     assert res.final_ratio**2 == pytest.approx(0.983675, abs=2e-3), res.final_ratio
+
+
+def test_smoother_study_pallas_matches_jnp():
+    # The Pallas-kernel study path (padded layout carried across
+    # iterations, f padded once) must produce the same residual
+    # trajectory as the jnp path.
+    ref = smoother_study(num_levels=2, rel_tol=0.0, max_iters=6)
+    pal = smoother_study(num_levels=2, rel_tol=0.0, max_iters=6, use_pallas=True)
+    assert pal.n_iters == ref.n_iters
+    for a, b in zip(pal.residual_norms, ref.residual_norms):
+        assert a == pytest.approx(b, rel=1e-5)
