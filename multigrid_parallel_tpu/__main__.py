@@ -100,9 +100,17 @@ def main(argv=None):
                   length=prob.length)
         ms = MixedBCSolver(prob, hier, n_smooth=args.gs_iter)
         t0 = time.perf_counter()
-        u, norms, init = ms.solve(rel_tol=args.tol, max_cycles=args.max_cycles,
-                                  verbose=not args.quiet)
-        print(f"cycles: {len(norms)}   wall time: {time.perf_counter() - t0:.4f} s")
+        if args.mixed:
+            # jit-fused performance path: one lax.while_loop, f32 inner
+            u, norm, n_cycles, init = ms.solve_on_device(
+                rel_tol=args.tol, max_cycles=args.max_cycles
+            )
+            n_cycles_out = n_cycles
+        else:
+            u, norms, init = ms.solve(rel_tol=args.tol, max_cycles=args.max_cycles,
+                                      verbose=not args.quiet)
+            n_cycles_out = len(norms)
+        print(f"cycles: {n_cycles_out}   wall time: {time.perf_counter() - t0:.4f} s")
         if args.vtk:
             from multigrid_parallel_tpu.utils import write_vtk
 

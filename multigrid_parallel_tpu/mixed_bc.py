@@ -108,6 +108,8 @@ class MixedBCSolver:
         mask0, _ = self.problem.boundary_masks(n0)
         a = build_mixed_coarse_matrix(n0, self.hier.spacing(0), mask0)
         lu, piv = scipy.linalg.lu_factor(a)
+        self._lu_host = lu
+        self._piv_host = piv
         lu_d = jnp.asarray(lu, dtype=self.hier.dtype)
         piv_d = jnp.asarray(piv, dtype=jnp.int32)
 
@@ -185,3 +187,115 @@ class MixedBCSolver:
             if n <= rel_tol * init:
                 break
         return u, norms, init
+
+    # -- performance path -------------------------------------------------
+
+    def make_on_device_solver(
+        self,
+        rel_tol: float = 1e-8,
+        max_cycles: int = 100,
+        inner_cycles: int = 1,
+    ):
+        """Build ``run(u0, f) -> (u, norm, n_outer)``: the whole mixed-BC
+        solve as ONE jitted ``lax.while_loop`` (no host round-trips) —
+        the jit-fused performance path for the electrospray problem,
+        mirroring ``cycles.make_on_device_mixed_solver``.
+
+        Structure: f64 solution + defect residual outer loop; each outer
+        step runs ``inner_cycles`` f32 correction V-cycles on the
+        normalized defect equation (zero-Dirichlet masks at every level,
+        Neumann copies after each half-sweep — the BC structure the
+        correction equation inherits from mg_3d_bkup.c's smoother).
+        Normalizing the defect by its norm keeps the f32 inner solve
+        scale-invariant, so rel_tol down to ~1e-10 is reachable even
+        though the electrode voltages span 1350 V.
+        """
+        f32 = jnp.float32
+        lvl_top = self.hier.num_levels - 1
+        h_top = self.hier.spacing(lvl_top)
+        masks32 = [
+            (m, vals.astype(f32)) for (m, vals) in self._masks
+        ]
+        lu32 = jnp.asarray(self._lu_host, dtype=f32)
+        piv32 = jnp.asarray(self._piv_host, dtype=jnp.int32)
+        mask0 = masks32[0][0]
+
+        def coarse32(fc):
+            x = jax.scipy.linalg.lu_solve((lu32, piv32), fc.reshape(-1))
+            x = x.reshape(fc.shape)
+            return jnp.where(mask0, jnp.zeros_like(x), x)
+
+        def apply_bcs32(e, lvl):
+            mask, _ = masks32[lvl]
+            e = ops3.apply_neumann_copy(e)
+            return jnp.where(mask, jnp.zeros_like(e), e)
+
+        def smooth32(e, fdef, lvl, red_first):
+            h = self.hier.spacing(lvl)
+            red, black, _ = ops3._masks_np(e.shape[0])
+            first, second = (red, black) if red_first else (black, red)
+            for _ in range(self.n_smooth):
+                e = ops3._half_sweep(e, fdef, h, jnp.asarray(first))
+                e = apply_bcs32(e, lvl)
+                e = ops3._half_sweep(e, fdef, h, jnp.asarray(second))
+                e = apply_bcs32(e, lvl)
+            return e
+
+        def descend32(e, fdef, lvl):
+            if lvl == 0:
+                return coarse32(fdef)
+            h = self.hier.spacing(lvl)
+            e = smooth32(e, fdef, lvl, red_first=True)
+            r = ops3.residual(e, fdef, h)
+            fc = ops3.restrict_full_weighting(r)
+            ec0 = jnp.zeros((self.hier.sizes[lvl - 1],) * 3, dtype=e.dtype)
+            ec = descend32(ec0, fc, lvl - 1)
+            e = ops3.prolong_correct(ec, e)
+            e = apply_bcs32(e, lvl)
+            e = smooth32(e, fdef, lvl, red_first=False)
+            return e
+
+        mask_top, vals_top = self._masks[lvl_top]
+
+        def body(state):
+            u, r, nrm, it, f = state
+            safe = jnp.maximum(nrm, jnp.asarray(1e-300, dtype=u.dtype))
+            r32 = (r / safe).astype(f32)
+            e = jnp.zeros_like(r32)
+            for _ in range(inner_cycles):
+                e = descend32(e, r32, lvl_top)
+            u = u + safe * e.astype(u.dtype)
+            # re-enforce BCs exactly in the outer precision
+            u = ops3.apply_neumann_copy(u)
+            u = jnp.where(mask_top, vals_top, u)
+            r = ops3.residual(u, f, h_top)
+            nrm = jnp.sqrt(jnp.sum(r * r))
+            return u, r, nrm, it + 1, f
+
+        @jax.jit
+        def run(u0, f):
+            r0 = ops3.residual(u0, f, h_top)
+            n0 = jnp.sqrt(jnp.sum(r0 * r0))
+            tol = rel_tol * n0
+
+            def cond(state):
+                _, _, nrm, it, _ = state
+                return jnp.logical_and(nrm > tol, it < max_cycles)
+
+            u, _, nrm, it, _ = jax.lax.while_loop(
+                cond, body, (u0, r0, n0, jnp.asarray(0), f)
+            )
+            return u, nrm, it
+
+        return run
+
+    def solve_on_device(
+        self, rel_tol: float = 1e-8, max_cycles: int = 100, inner_cycles: int = 1
+    ):
+        """Whole solve in one jit. Returns (u, final_norm, n_outer, init)."""
+        run = self.make_on_device_solver(rel_tol, max_cycles, inner_cycles)
+        u0, f = self.initial_state()
+        lvl = self.hier.num_levels - 1
+        init = float(ops3.residual_norm(u0, f, self.hier.spacing(lvl)))
+        u, norm, n_outer = run(u0, f)
+        return u, float(norm), int(n_outer), init

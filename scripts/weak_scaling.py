@@ -1,21 +1,35 @@
-"""Scaling harness for the sharded solver (BASELINE config 5 structure).
+"""Scaling harness for the sharded solvers (BASELINE config 5 structure).
 
-Two modes over the sharded double-float cycle:
+Paths (``--path``):
+  * ``jnp``   — 1D i-slab mesh, plain-jnp local ops
+    (parallel.sharded.make_sharded_df_cycle);
+  * ``fused`` — 1D i-slab mesh, fused Pallas local stages on the padded
+    layout (parallel.sharded_padded.make_sharded_df_solver) — the
+    production distributed path;
+  * ``2d``    — (i, j) 2D mesh decomposition
+    (parallel.sharded2d.make_sharded2d_df_cycle).
+
+Modes:
   * default (strong scaling): one fixed grid across mesh sizes —
     planes/device shrink as devices grow;
-  * --weak: one extra level per doubling of devices, keeping
+  * ``--weak``: one extra level per doubling of devices, keeping
     planes/device constant along the sharded i axis (with a 1D
     decomposition of a cubic grid the j,k extents grow too, so
     volume/device still grows — true constant-volume weak scaling needs
-    the grid to be non-cubic or a 2D/3D mesh decomposition).
+    the grid to be non-cubic or a 2D/3D mesh decomposition);
+  * ``--plan 1025`` prints the per-device memory/sharding plan for an
+    n^3 grid at several mesh sizes without running anything (the 1025^3
+    deployment plan for BASELINE config 5: the grid cannot fit one chip,
+    ~29 GB of padded f32 df state vs 16 GB HBM, but shards comfortably).
 
 On a real multi-chip TPU slice this measures ICI halo-exchange scaling;
 on this dev environment it runs against virtual CPU devices
 (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8),
 which validates the communication structure and convergence invariance
-but NOT absolute speed.
+but NOT absolute speed. Results: docs/SCALING.md.
 
-    python scripts/weak_scaling.py [--devices 1 2 4 8] [--levels 5] [--weak]
+    python scripts/weak_scaling.py [--devices 1 2 4 8] [--levels 5]
+        [--weak] [--path jnp|fused|2d] [--plan N]
 """
 
 import argparse
@@ -26,6 +40,41 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def print_memory_plan(n: int, device_list):
+    """Per-device footprint of the fused df solver state for an n^3 grid,
+    i-slab sharded, padded (L, rup8(n), rup128(n)) f32 layout."""
+    sj, sk = _round_up(n, 8), _round_up(n, 128)
+    plane_bytes = sj * sk * 4
+
+    print(f"## {n}^3 df-solver memory plan (padded f32 planes: {sj}x{sk}, "
+          f"{plane_bytes / 2**20:.2f} MiB/plane)")
+    print()
+    print("State: 4 finest arrays (u_hi, u_lo, f_hi, f_lo) + defect r + "
+          "correction e,")
+    print("plus ~3 work arrays per coarser sharded level (halving planes "
+          "and j,k each level).")
+    print()
+    print("| devices | planes/dev | finest bytes/dev | + levels (est) | "
+          "fits 16 GB HBM? |")
+    print("|---|---|---|---|---|")
+    for nd in device_list:
+        L = _round_up(n, nd) // nd
+        finest = 6 * L * plane_bytes
+        # coarser sharded levels: each has ~3 work arrays, planes and
+        # j/k extents halve -> factor ~1/8 per level; geometric sum < 1/7
+        total = finest + (3 * L * plane_bytes) / 7.0
+        fits = "yes" if total < 15.0 * 2**30 else "NO"
+        print(f"| {nd} | {L} | {finest / 2**30:.2f} GiB | "
+              f"{total / 2**30:.2f} GiB | {fits} |")
+    single = 6 * n * plane_bytes / 2**30
+    print(f"\n(single chip would need ~{single:.1f} GiB for the finest "
+          "level alone)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -33,9 +82,22 @@ def main():
     ap.add_argument("--cycles", type=int, default=5)
     ap.add_argument("--weak", action="store_true",
                     help="grow the grid with the mesh (one level per 2x devices)")
+    ap.add_argument("--path", choices=["jnp", "fused", "2d"], default="jnp")
+    ap.add_argument("--plan", type=int, default=0, metavar="N",
+                    help="print the N^3 memory/sharding plan and exit")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon TPU plugin ignores "
+                         "JAX_PLATFORMS; this uses jax.config pre-init)")
     args = ap.parse_args()
 
+    if args.plan:
+        print_memory_plan(args.plan, args.devices + [16, 32])
+        return
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     if len(jax.devices()) < max(args.devices):
         print(
@@ -46,7 +108,6 @@ def main():
         sys.exit(1)
 
     jax.config.update("jax_enable_x64", True)
-    import jax.numpy as jnp
 
     import multigrid_parallel_tpu as mg
     from multigrid_parallel_tpu.parallel import sharded as sh
@@ -54,25 +115,71 @@ def main():
     prob = mg.poisson_3d_quadratic()
     cfg = mg.CycleConfig(n_smooth=2)
     mode = "weak (planes/dev const)" if args.weak else "strong (fixed grid)"
-    print(f"backend={jax.default_backend()}  base levels={args.levels}  mode={mode}")
-    print("| devices | grid | planes/dev | s/cycle | resid after "
-          f"{args.cycles} cycles |")
+    print(f"backend={jax.default_backend()}  base levels={args.levels}  "
+          f"mode={mode}  path={args.path}")
+    unit = ("defect step (1 V-cycle + EFT residual)" if args.path != "fused"
+            else "defect step (1 fused V-cycle + EFT residual)")
+    print(f"| devices | grid | planes/dev | s/{unit} | resid after "
+          f"{args.cycles} steps |")
     print("|---|---|---|---|---|")
     for nd in args.devices:
         levels = args.levels + (nd.bit_length() - 1 if args.weak else 0)
         hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=levels)
-        mesh = sh.make_mesh(nd)
-        cycle, plan = sh.make_sharded_df_cycle(hier, cfg, mesh)
-        u_hi, u_lo, f_hi, f_lo = sh.setup_df_problem_sharded(prob, hier, mesh, plan)
-        u_hi, u_lo, norm = cycle(u_hi, u_lo, f_hi, f_lo)  # compile
+
+        if args.path == "2d":
+            from multigrid_parallel_tpu.parallel import sharded2d as sh2
+
+            ny = 2 if nd >= 2 else 1
+            nx = nd // ny
+            mesh = sh2.make_mesh_2d(nx, ny)
+            plan = sh2.plan_sharding_2d(hier, nx, ny)
+            cycle, plan = sh2.make_sharded2d_df_cycle(hier, cfg, mesh, plan)
+            state = sh2.setup_df_problem_sharded2d(prob, hier, mesh, plan)
+            local = f"{plan.local_i(0)}x{plan.local_j(0)}"
+
+            def run_one(state):
+                u_hi, u_lo, f_hi, f_lo = state
+                u_hi, u_lo, norm = cycle(u_hi, u_lo, f_hi, f_lo)
+                return (u_hi, u_lo, f_hi, f_lo), norm
+
+        elif args.path == "fused":
+            from multigrid_parallel_tpu.parallel import sharded_padded as sp
+
+            mesh = sh.make_mesh(nd)
+            plan = sh.plan_sharding(hier, nd, "x")
+            # rel_tol=0, max_cycles=1: exactly one defect step per call
+            run, _ = sp.make_sharded_df_solver(
+                hier, cfg, mesh, plan, rel_tol=0.0, max_cycles=1,
+                inner_cycles=1,
+            )
+            state = sp.setup_df_problem_sharded_padded(prob, hier, mesh, plan)
+            local = str(plan.local_planes(0))
+
+            def run_one(state):
+                u_hi, u_lo, f_hi, f_lo = state
+                u_hi, u_lo, norm, _ = run(u_hi, u_lo, f_hi, f_lo)
+                return (u_hi, u_lo, f_hi, f_lo), norm
+
+        else:
+            mesh = sh.make_mesh(nd)
+            cycle, plan = sh.make_sharded_df_cycle(hier, cfg, mesh)
+            state = sh.setup_df_problem_sharded(prob, hier, mesh, plan)
+            local = str(plan.fine_local)
+
+            def run_one(state):
+                u_hi, u_lo, f_hi, f_lo = state
+                u_hi, u_lo, norm = cycle(u_hi, u_lo, f_hi, f_lo)
+                return (u_hi, u_lo, f_hi, f_lo), norm
+
+        state, norm = run_one(state)  # compile
         float(norm)
         t0 = time.perf_counter()
         for _ in range(args.cycles):
-            u_hi, u_lo, norm = cycle(u_hi, u_lo, f_hi, f_lo)
+            state, norm = run_one(state)
         norm = float(norm)
         dt = (time.perf_counter() - t0) / args.cycles
         print(
-            f"| {nd} | {hier.finest_n}³ | {plan.fine_local} | "
+            f"| {nd} | {hier.finest_n}³ | {local} | "
             f"{dt * 1e3:.1f} ms | {norm:.3e} |"
         )
 

@@ -59,3 +59,114 @@ def test_electrospray_residual_decreases_multigrid_fast(solver):
     _, norms, init = solver.solve(rel_tol=1e-8, max_cycles=60)
     ratios = [b / a for a, b in zip([init] + norms, norms)][1:6]
     assert all(r < 0.7 for r in ratios), ratios
+
+
+# ---- C-parity against the loop-level golden (mg_3d_bkup.c:51-174) ----
+
+
+def test_golden_smoother_shares_fixed_point(solver):
+    """The C smoother's in-sweep Neumann copies and MixedBCSolver's
+    post-sweep formulation must agree on the converged state: applying
+    the transliterated golden smoother to our converged solution leaves
+    it unchanged to solver tolerance."""
+    from golden_mixed import calculate_residual, gauss_seidel_smoother
+
+    u, norms, init = solver.solve(rel_tol=1e-10, max_cycles=80)
+    assert norms[-1] <= 1e-10 * init
+    un = np.asarray(u, dtype=np.float64)
+    h = solver.problem.length / (un.shape[0] - 1)
+    d = np.zeros_like(un)
+
+    ug = un.copy()
+    gauss_seidel_smoother(ug, d, h, 1)
+    # measured 3.2e-8 absolute on the 1350 V scale (2.4e-11 relative)
+    assert np.abs(ug - un).max() < 1e-6
+
+    # our converged state has ~zero golden (h^2-scaled) residual too
+    ssq, _ = calculate_residual(un, d, h)
+    u0, _ = solver.initial_state()
+    ssq0, _ = calculate_residual(np.asarray(u0, dtype=np.float64), d, h)
+    assert np.sqrt(ssq) < 1e-9 * np.sqrt(ssq0)
+
+
+def test_golden_vs_post_sweep_smoothing_trajectory(solver):
+    """Smoothing-only convergence trajectories: sequential in-sweep C
+    semantics vs our vectorized post-sweep RB. Same asymptotic
+    per-sweep ratio to ~1%% (measured 0.982-0.985 both at 17^3)."""
+    from golden_mixed import calculate_residual, gauss_seidel_smoother
+
+    import jax.numpy as jnp
+
+    u0, _ = solver.initial_state()
+    n = u0.shape[0]
+    h = solver.problem.length / (n - 1)
+    d = np.zeros((n,) * 3)
+    lvl = solver.hier.num_levels - 1
+
+    vg = np.asarray(u0, dtype=np.float64).copy()
+    gn = []
+    for _ in range(40):
+        gauss_seidel_smoother(vg, d, h, 1)
+        ssq, _ = calculate_residual(vg, d, h)
+        gn.append(np.sqrt(ssq))
+
+    uo = u0
+    on = []
+    for _ in range(40):
+        uo = solver._smooth(uo, jnp.zeros_like(uo), lvl, 1, True, False)
+        ssq, _ = calculate_residual(np.asarray(uo, dtype=np.float64), d, h)
+        on.append(np.sqrt(ssq))
+
+    g_ratio = gn[-1] / gn[-2]
+    o_ratio = on[-1] / on[-2]
+    assert o_ratio == pytest.approx(g_ratio, abs=0.01), (g_ratio, o_ratio)
+    # overall reduction after 40 sweeps in the same ballpark
+    assert on[-1] / gn[-1] < 2.0 and gn[-1] / on[-1] < 2.0
+
+
+def test_on_device_mixed_bc_matches_host(solver):
+    """The one-jit while_loop solver (f32 inner correction cycles, f64
+    outer defect) must track the all-f64 host-loop solver: same cycle
+    count, same solution to f32-correction roundoff."""
+    u_dev, norm, it, init = solver.solve_on_device(rel_tol=1e-8, max_cycles=60)
+    u_host, norms, init_h = solver.solve(rel_tol=1e-8, max_cycles=60)
+    assert it == len(norms)
+    assert norm <= 1e-8 * init
+    assert float(jnp.max(jnp.abs(u_dev - u_host))) < 1e-7
+
+
+def test_on_device_inner_cycles_amortize(solver):
+    """inner_cycles=2 halves the outer f64-residual passes (the same
+    amortization the Dirichlet df solver uses)."""
+    _, n1, it1, init1 = solver.solve_on_device(rel_tol=1e-8, inner_cycles=1)
+    _, n2, it2, init2 = solver.solve_on_device(rel_tol=1e-8, inner_cycles=2)
+    assert it2 < it1
+    assert n1 <= 1e-8 * init1 and n2 <= 1e-8 * init2
+
+
+def test_on_device_fingerprint_65():
+    """65^3 electrospray fingerprint on the jit-fused path: 31 outer
+    steps to 1e-8 (measured), potential bracketed by the electrode
+    voltages."""
+    prob = electrospray_problem()
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=5, length=prob.length)
+    s = MixedBCSolver(prob, hier, n_smooth=2)
+    u, norm, it, init = s.solve_on_device(rel_tol=1e-8, max_cycles=80)
+    assert norm <= 1e-8 * init
+    assert it == pytest.approx(31, abs=3)
+    un = np.asarray(u)
+    assert un.min() >= EXTRACTOR_VOLTAGE - 1e-6 and un.max() <= 1e-6
+
+
+def test_mixed_vcycle_fingerprint_33():
+    """33^3 mixed-BC V-cycle fingerprint: 29 cycles to 1e-8, asymptotic
+    per-cycle ratio ~0.588 (measured; Neumann faces degrade the ratio
+    vs the Dirichlet problem's 0.12-0.17)."""
+    prob = electrospray_problem()
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4, length=prob.length)
+    s = MixedBCSolver(prob, hier, n_smooth=2)
+    u, norms, init = s.solve(rel_tol=1e-8, max_cycles=45)
+    assert norms[-1] <= 1e-8 * init
+    assert len(norms) == pytest.approx(29, abs=3)
+    tail = [b / a for a, b in zip(norms[-6:-1], norms[-5:])]
+    assert all(0.55 < r < 0.62 for r in tail), tail
