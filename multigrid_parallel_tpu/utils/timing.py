@@ -69,6 +69,118 @@ def timed_call(info: TimingInfo, stage: int, fn: Callable, *args):
     return out
 
 
+def profile_padded_stages(hier, cfg, block_i: int = 16, reps: int = 20,
+                          jnp_level_max: int | None = None):
+    """Per-stage wall times for the PADDED Pallas cycle — the path the
+    single-chip performance solver actually runs (cycles_padded).
+
+    Returns (rows, latency_s): rows of (label, seconds) for each fused
+    stage at each Pallas level plus the whole jnp-path coarse subtree and
+    the outer double-float stages. Each stage is timed as its own jitted
+    call, best-of-``reps``, with the measured dispatch+readback latency
+    subtracted (through the axon tunnel that latency is ~3 ms — larger
+    than most kernels — so raw per-call numbers are meaningless;
+    see scripts/roofline.py for the slope-based cross-check).
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multigrid_parallel_tpu import cycles_padded as cp
+    from multigrid_parallel_tpu.ops import pallas3d as pk
+
+    f32 = jnp.float32
+    hier32 = dataclasses.replace(hier, dtype=f32)
+    n_top = hier32.sizes[hier32.num_levels - 1]
+    lvl_max = cp._JNP_LEVEL_MAX if jnp_level_max is None else jnp_level_max
+
+    tiny = jnp.zeros((8, 128), f32)
+    lat_fn = jax.jit(lambda t: jnp.sum(t))
+
+    def best(fn):
+        float(fn())  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn())
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    latency = best(lambda: lat_fn(tiny))
+
+    rows = []
+
+    def add(label, fn):
+        rows.append((label, max(best(fn) - latency, 0.0)))
+
+    key = jax.random.PRNGKey(0)
+    for level in range(hier32.num_levels - 1, -1, -1):
+        n = hier32.sizes[level]
+        if n <= lvl_max:
+            # whole remaining subtree runs on the fused-XLA jnp path
+            sub = dataclasses.replace(
+                hier32, num_levels=level + 1, dtype=f32
+            )
+            cyc = cp.make_padded_correction_cycle(sub, cfg, lvl_max)
+            r = jax.random.normal(key, pk.padded_shape(n), f32)
+            fn = jax.jit(lambda r: jnp.sum(cyc(None, r, from_zero=True)[:1]))
+            add(f"L{level} ({n}³) jnp subtree (whole V to coarse)",
+                lambda: fn(r))
+            break
+        h = hier32.spacing(level)
+        shape = pk.padded_shape(n)
+        e = jax.random.normal(key, shape, f32)
+        r = jax.random.normal(jax.random.PRNGKey(1), shape, f32)
+        _, sj, sk = shape
+
+        fz = jax.jit(lambda r: jnp.sum(pk.rb_smooth_from_zero_fused(
+            r, h, cfg.n_smooth, n, red_first=True, block_i=block_i)[:1]))
+        add(f"L{level} ({n}³) smoother (from-zero, {2 * cfg.n_smooth} half)",
+            lambda: fz(r))
+
+        sm = jax.jit(lambda e, r: jnp.sum(pk.rb_smooth_fused_pipelined(
+            e, r, h, cfg.n_smooth, n, red_first=False, block_i=block_i)[:1]))
+        add(f"L{level} ({n}³) smoother (pipelined, {2 * cfg.n_smooth} half)",
+            lambda: sm(e, r))
+
+        bi_rr = pk.rr_fused_block_i(n, sj, sk, 4)
+        if bi_rr:
+            rr = jax.jit(lambda e, r: jnp.sum(
+                pk.residual_restrict_fused_padded(e, r, h, n, block_i=bi_rr)[:1]))
+            add(f"L{level} ({n}³) residual+restrict fused", lambda: rr(e, r))
+
+        bi_ps = pk.ps_fused_block_i(n, sj, sk, cfg.n_smooth, 4)
+        if bi_ps:
+            nc = hier32.sizes[level - 1]
+            ec = jax.random.normal(key, pk.padded_shape(nc), f32)
+            ps = jax.jit(lambda ec, e, r: jnp.sum(
+                pk.prolong_smooth_fused_padded(
+                    ec, e, r, h, cfg.n_smooth, n, block_i=bi_ps)[:1]))
+            add(f"L{level} ({n}³) prolong+correct+post-smooth fused",
+                lambda: ps(ec, e, r))
+
+    # outer double-float stages at the finest level
+    h_top = hier32.spacing(hier32.num_levels - 1)
+    shape = pk.padded_shape(n_top)
+    uh = jax.random.normal(key, shape, f32)
+    ul = jax.random.normal(jax.random.PRNGKey(2), shape, f32) * 1e-8
+    fh = jax.random.normal(jax.random.PRNGKey(3), shape, f32)
+    fl = jnp.zeros(shape, f32)
+    dfn = jax.jit(lambda uh, ul, fh, fl: pk.residual_df_norm_fused_padded(
+        uh, ul, fh, fl, h_top, n_top)[1])
+    add(f"outer ({n_top}³) EFT residual+norm fused",
+        lambda: dfn(uh, ul, fh, fl))
+    bi_step = pk.df_step_block_i(n_top, shape[1], shape[2])
+    if bi_step:
+        e = jax.random.normal(jax.random.PRNGKey(4), shape, f32)
+        st = jax.jit(lambda uh, ul, e, fh, fl: pk.df_step_residual_norm_fused(
+            uh, ul, e, fh, fl, h_top, n_top, block_i=bi_step)[3])
+        add(f"outer ({n_top}³) df-add+EFT residual+norm fused",
+            lambda: st(uh, ul, e, fh, fl))
+
+    return rows, latency
+
+
 def profile_cycle(hier, coarse_solve, cfg, u, f, infos: List[TimingInfo]):
     """One V-cycle with per-level per-stage timing into ``infos`` (one
     TimingInfo per level, coarsest first, like tInfo in mg_3d.h:26).

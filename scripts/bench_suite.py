@@ -1,10 +1,12 @@
-"""Extended benchmark suite: solve times across grid sizes + kernel table.
+"""Extended benchmark suite: solve times across grid sizes + kernel table
++ the sweeps behind the performance-path constants.
 
 Writes docs/BENCH_DETAILS.md. The headline driver benchmark stays in
 bench.py (one JSON line); this script is for the full performance story.
-Run on a TPU host: python scripts/bench_suite.py
+Run on a TPU host: python scripts/bench_suite.py [--quick]
 """
 
+import argparse
 import sys
 import time
 from pathlib import Path
@@ -31,6 +33,25 @@ REL_TOL = 1e-8
 # (BASELINE.md); None where not measured.
 C_BASELINE = {33: 0.0178, 65: 0.115, 129: 0.842, 257: 10.74, 513: None}
 
+_TINY = None
+_LAT_FN = None
+
+
+def _latency():
+    """Dispatch + scalar-readback round trip (axon tunnel: ~3 ms; larger
+    than most kernels, so all kernel timings below amortize or subtract it)."""
+    global _TINY, _LAT_FN
+    if _LAT_FN is None:
+        _TINY = jnp.zeros((8, 128), jnp.float32)
+        _LAT_FN = jax.jit(lambda t: jnp.sum(t))
+    float(_LAT_FN(_TINY))
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(_LAT_FN(_TINY))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
 
 def solve_rows():
     rows = []
@@ -42,10 +63,13 @@ def solve_rows():
         args = setup_df_problem(mg.poisson_3d_quadratic(), hier)
         out = run(*args)
         float(out[2])  # compile + run
-        t0 = time.perf_counter()
-        out = run(*args)
-        norm, it = float(out[2]), int(out[3])
-        wall = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(*args)
+            norm, it = float(out[2]), int(out[3])
+            best = min(best, time.perf_counter() - t0)
+        wall = best
         u = pk.df_to_f64(pk.unpad3(out[0], n), pk.unpad3(out[1], n))
         exact = evaluate_on_grid(mg.poisson_3d_quadratic().analytic, hier, levels - 1)
         err = float(jnp.sqrt(jnp.sum((u - exact) ** 2)))
@@ -59,13 +83,63 @@ def solve_rows():
     return rows
 
 
+def fmg_rows():
+    """FMG bootstrap on the performance path vs plain V-cycles at 257³
+    (mg_dirichlet_analytic.c:984-1001 capability)."""
+    rows = []
+    hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=7)
+    cfg = mg.CycleConfig(n_smooth=2)
+    args = setup_df_problem(mg.poisson_3d_quadratic(), hier)
+    for use_fmg in (False, True):
+        run = make_on_device_df_solver(
+            hier, cfg, rel_tol=REL_TOL, inner_cycles=4, use_fmg=use_fmg
+        )
+        out = run(*args)
+        float(out[2])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(*args)
+            norm, it = float(out[2]), int(out[3])
+            best = min(best, time.perf_counter() - t0)
+        label = "FMG bootstrap + V-cycles" if use_fmg else "V-cycles only"
+        rows.append(f"| {label} | {best:.4f} | {it} | {norm:.2e} |")
+        print(rows[-1], flush=True)
+    return rows
+
+
+def crossover_rows():
+    """The sweep behind _JNP_LEVEL_MAX: whole-solve wall time at 257³ as
+    the Pallas/jnp level crossover moves."""
+    rows = []
+    hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=7)
+    cfg = mg.CycleConfig(n_smooth=2)
+    args = setup_df_problem(mg.poisson_3d_quadratic(), hier)
+    for lmax in (17, 33, 65):
+        run = make_on_device_df_solver(
+            hier, cfg, rel_tol=REL_TOL, inner_cycles=4, jnp_level_max=lmax
+        )
+        out = run(*args)
+        float(out[2])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(*args)
+            best = min(best, time.perf_counter() - t0)
+        rows.append(f"| {lmax} | {best:.4f} |")
+        print(rows[-1], flush=True)
+    return rows
+
+
 def kernel_rows():
+    """Kernel table incl. the block_i sweep behind the smoother default."""
     rows = []
     n = 257
     h = 1.0 / (n - 1)
     up = jnp.zeros(pk.padded_shape(n), jnp.float32)
     fp = jnp.ones(pk.padded_shape(n), jnp.float32)
     vol_gb = 3 * up.size * 4 / 1e9
+    lat = _latency()
 
     def t(fn, *args, iters=20):
         x = fn(*args)
@@ -74,16 +148,19 @@ def kernel_rows():
         for _ in range(iters):
             x = fn(x, *args[1:])
         float(jnp.sum(x))
-        return (time.perf_counter() - t0) / iters
+        return (time.perf_counter() - t0 - lat) / iters
 
-    smoother = jax.jit(
-        lambda u, f: pk.rb_smooth_fused_pipelined(u, f, h, 2, n, block_i=16)
-    )
-    dt = t(smoother, up, fp)
-    rows.append(
-        f"| fused RB-GS stage (4 half-sweeps) | {dt * 1e3:.2f} | {vol_gb / dt:.0f} |"
-    )
-    # the kernel actually wired into the correction cycle
+    for bi in (8, 16, 24):
+        smoother = jax.jit(
+            lambda u, f, bi=bi: pk.rb_smooth_fused_pipelined(
+                u, f, h, 2, n, block_i=bi
+            )
+        )
+        dt = t(smoother, up, fp)
+        rows.append(
+            f"| fused RB-GS stage (4 half-sweeps, bi={bi}) | {dt * 1e3:.2f} | "
+            f"{vol_gb / dt:.0f} |"
+        )
     resid = jax.jit(lambda u, f: pk.residual_fused_pipelined(u, f, h, n, block_i=16))
     dt = t(resid, up, fp)
     rows.append(f"| fused residual (pipelined) | {dt * 1e3:.2f} | {vol_gb / dt:.0f} |")
@@ -99,17 +176,108 @@ def kernel_rows():
     return rows
 
 
+def stage_rows():
+    """Per-stage profile of the padded cycle at 257³ (the fused path)."""
+    from multigrid_parallel_tpu.utils.timing import profile_padded_stages
+
+    hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=7)
+    rows_raw, lat = profile_padded_stages(hier, mg.CycleConfig(n_smooth=2))
+    rows = [f"| {lbl} | {t * 1e3:.2f} |" for lbl, t in rows_raw]
+    for r in rows:
+        print(r, flush=True)
+    print(f"(latency subtracted: {lat * 1e3:.2f} ms)")
+    return rows, lat
+
+
+def electrospray_row():
+    """65³ electrospray mixed-BC solve on the jit-fused path."""
+    from multigrid_parallel_tpu.mixed_bc import MixedBCSolver
+    from multigrid_parallel_tpu.models.electrospray import electrospray_problem
+
+    prob = electrospray_problem()
+    hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=5, length=prob.length)
+    s = MixedBCSolver(prob, hier, n_smooth=2)
+    run = s.make_on_device_solver(rel_tol=1e-8, inner_cycles=2)
+    u0, f = s.initial_state()
+    out = run(u0, f)
+    float(out[1])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(u0, f)
+        norm, it = float(out[1]), int(out[2])
+        best = min(best, time.perf_counter() - t0)
+    row = (f"| electrospray 65³ (f32 inner, f64 outer, inner_cycles=2) | "
+           f"{best:.4f} | {it} | {norm:.2e} |")
+    print(row, flush=True)
+    return row
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="solve table + kernels only")
+    args = ap.parse_args()
+
     dev = jax.devices()[0]
     solve = solve_rows()
     kern = kernel_rows()
+    if not args.quick:
+        fmg = fmg_rows()
+        cross = crossover_rows()
+        stages, lat = stage_rows()
+        esp = electrospray_row()
+    else:
+        fmg, cross, stages, esp, lat = [], [], [], "", 0.0
+
+    extra = ""
+    if not args.quick:
+        extra = f"""
+## FMG bootstrap vs plain V-cycles (257³, rel tol 1e-8)
+
+The performance-path FMG (make_padded_fmg_bootstrap: full multigrid on
+the initial defect equation) vs the plain while_loop. n_outer excludes
+the bootstrap itself (the reference reports FMG separately,
+mg_dirichlet_analytic.c:984-1001).
+
+| variant | wall (s) | outer steps | final resid |
+|---|---|---|---|
+{chr(10).join(fmg)}
+
+## Pallas/jnp crossover sweep (the number behind _JNP_LEVEL_MAX)
+
+Whole 257³ solve wall time as levels ≤ lmax take the masked-roll XLA
+path instead of Pallas launches:
+
+| jnp_level_max | wall (s) |
+|---|---|
+{chr(10).join(cross)}
+
+## Per-stage profile of the padded cycle (257³)
+
+Each fused stage timed as its own jitted call, best-of-20, dispatch
+latency ({lat * 1e3:.2f} ms through the axon tunnel) subtracted.
+
+| stage | ms |
+|---|---|
+{chr(10).join(stages)}
+
+## Mixed-BC (electrospray) on the jit-fused path
+
+| solve | wall (s) | outer steps | final resid |
+|---|---|---|---|
+{esp}
+"""
+
     doc = f"""# Benchmark details (measured on {dev.device_kind}, single chip)
 
 Solver: double-float defect correction (all-f32 on device), fused Pallas
 smoother/residual kernels, 2 RB-GS pre+post sweeps, 4 inner f32 V-cycles
 per outer defect step, rel tol 1e-8 vs ||f||_2 (the reference driver's
 criterion, test_mg_3d.c:19,40). C baseline: gcc -O2 -fopenmp, 4 threads
-(BASELINE.md).
+(BASELINE.md). All timings best-of-N (shared chip, ±30% contention —
+CLAUDE.md); see scripts/roofline.py for the latency-calibrated kernel
+cross-checks and docs/ROOFLINE.md for the bound analysis.
 
 ## Full solves
 
@@ -121,11 +289,12 @@ criterion, test_mg_3d.c:19,40). C baseline: gcc -O2 -fopenmp, 4 threads
 
 "Effective GB/s" = minimal algorithmic traffic (u in, f in, u out) over
 wall time; actual DMA traffic is higher (halo overlap ~1.5x at bi=16).
+The bi sweep is the measurement behind the smoother's block_i=16 default.
 
 | Kernel | ms | effective GB/s |
 |---|---|---|
 {chr(10).join(kern)}
-"""
+{extra}"""
     out = Path(__file__).resolve().parents[1] / "docs" / "BENCH_DETAILS.md"
     out.parent.mkdir(exist_ok=True)
     out.write_text(doc)

@@ -38,6 +38,16 @@ def timed(fn, reps):
     return ts[0], ts[len(ts) // 2]
 
 
+def slope(make_run, c1, c2, reps):
+    """Per-op time from two chain lengths: removes the host->device
+    dispatch + scalar-readback latency (measured ~3 ms through the axon
+    tunnel, which dwarfs ms-scale kernels — single-call timings are
+    pure noise here)."""
+    r1, _ = timed(make_run(c1), reps)
+    r2, _ = timed(make_run(c2), reps)
+    return (r2 - r1) / (c2 - c1), r1, r2
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=257)
@@ -61,23 +71,33 @@ def main():
     u = jax.random.normal(key, (n, sj, sk), dtype=jnp.float32)
     f = jax.random.normal(jax.random.PRNGKey(1), (n, sj, sk), dtype=jnp.float32)
     h = 1.0 / (n - 1)
+    c1, c2 = ch, 4 * ch
 
-    # ---- 1. HBM streaming bandwidth (jnp copy-add) ----
-    @jax.jit
-    def hbm_copy(x):
-        y = x
-        for _ in range(ch):
-            y = y + 1.0
-        return jnp.sum(y[:1])
+    # ---- 0. dispatch + readback latency ----
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    latfn = jax.jit(lambda t: jnp.sum(t))
+    lat, _ = timed(lambda: latfn(tiny), args.reps)
+    print(f"sync latency:     {lat * 1e3:7.3f} ms (scalar readback round trip)")
 
-    best, med = timed(lambda: hbm_copy(u), args.reps)
-    per = best / ch
+    # ---- 1. HBM streaming bandwidth (jnp triad; full-array sum so XLA
+    # cannot slice the chain away) ----
+    def make_hbm(chain):
+        @jax.jit
+        def run(x):
+            y = x
+            for _ in range(chain):
+                y = y * 1.0000001 + x  # depends on full x each step
+            return jnp.sum(y)
+
+        return lambda: run(u)
+
+    per, r1, r2 = slope(make_hbm, c1, c2, args.reps)
     gbs = 2 * n * plane / per / 1e9
-    print(f"hbm jnp add:      {per * 1e3:7.3f} ms/pass  -> {gbs:6.1f} GB/s "
-          "(read+write)")
+    print(f"hbm jnp triad:    {per * 1e3:7.3f} ms/pass  -> {gbs:6.1f} GB/s "
+          f"(r+w; raw {r1 * 1e3:.1f}/{r2 * 1e3:.1f} ms)")
 
     # ---- 2. DMA floor: pipelined template, identity body ----
-    def identity_stage(bi):
+    def identity_stage(bi, chain):
         hh = 4  # same halo as the n_iter=2 RB stage
         si = bi + 2 * hh
         nb = pl.cdiv(n, bi)
@@ -90,26 +110,22 @@ def main():
         @jax.jit
         def run(x, y):
             out = x
-            for _ in range(ch):
+            for _ in range(chain):
                 out = call(out, y)
             return jnp.sum(out[:1])
 
-        return run
+        return lambda: run(u, f)
 
     for bi in args.block_i:
-        run = identity_stage(bi)
-        best, med = timed(lambda: run(u, f), args.reps)
-        per = best / ch
-        # algorithmic traffic: u in, f in, u out
+        per, r1, r2 = slope(lambda c: identity_stage(bi, c), c1, c2, args.reps)
         eff = 3 * n * plane / per / 1e9
-        # actual DMA traffic incl. halo re-reads
         si = bi + 8
         act = (2 * si * pl.cdiv(n, bi) + n) * plane / per / 1e9
         print(f"dma floor bi={bi:2d}:  {per * 1e3:7.3f} ms/stage -> "
               f"{eff:6.1f} GB/s algorithmic, {act:6.1f} GB/s actual DMA")
 
     # ---- 3. VPU f32 throughput (chained FMA in VMEM) ----
-    K = 512
+    K = 2048
     vsj, vsk = 256, 1024  # 1 MiB block
 
     def vpu_kernel(a_ref, o_ref):
@@ -128,33 +144,37 @@ def main():
     )
     a = jax.random.normal(key, (vsj, vsk), dtype=jnp.float32) * 1e-3
 
-    @jax.jit
-    def vpu_run(a):
-        with jax.enable_x64(False):
-            y = a
-            for _ in range(ch):
-                y = vcall(y)
-            return jnp.sum(y[:1])
+    def make_vpu(chain):
+        @jax.jit
+        def run(a):
+            with jax.enable_x64(False):
+                y = a
+                for _ in range(chain):
+                    y = vcall(y)
+                return jnp.sum(y[:1])
 
-    best, med = timed(lambda: vpu_run(a), args.reps)
-    per = best / ch
+        return lambda: run(a)
+
+    per, r1, r2 = slope(make_vpu, c1, c2, args.reps)
     tflops = vsj * vsk * K * 2 / per / 1e12
     print(f"vpu fma chain:    {per * 1e3:7.3f} ms/call  -> {tflops:6.2f} "
           "TFLOP/s f32 (2 ops/FMA)")
 
     # ---- 4. fused RB stage (n_iter=2 -> 4 half-sweeps) ----
     for bi in args.block_i:
-        @jax.jit
-        def rb_run(x, y, bi=bi):
-            out = x
-            for _ in range(ch):
-                out = pk.rb_smooth_fused_pipelined(
-                    out, y, h, 2, n, red_first=True, block_i=bi
-                )
-            return jnp.sum(out[:1])
+        def make_rb(chain, bi=bi):
+            @jax.jit
+            def run(x, y):
+                out = x
+                for _ in range(chain):
+                    out = pk.rb_smooth_fused_pipelined(
+                        out, y, h, 2, n, red_first=True, block_i=bi
+                    )
+                return jnp.sum(out[:1])
 
-        best, med = timed(lambda: rb_run(u, f), args.reps)
-        per = best / ch
+            return lambda: run(u, f)
+
+        per, r1, r2 = slope(make_rb, c1, c2, args.reps)
         eff = 3 * n * plane / per / 1e9
         # op accounting (body ops over computed region):
         # per half-sweep per computed point: 5 add + 4 roll-lane-ops
@@ -165,7 +185,7 @@ def main():
         gops = 4 * pts * 12 / per / 1e9
         print(f"rb stage bi={bi:2d}:   {per * 1e3:7.3f} ms/stage -> "
               f"{eff:6.1f} GB/s algorithmic, {gops:7.1f} Gop/s VPU "
-              f"(med {med / ch * 1e3:.3f})")
+              f"(raw {r1 * 1e3:.1f}/{r2 * 1e3:.1f} ms)")
 
 
 if __name__ == "__main__":
