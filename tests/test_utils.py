@@ -113,3 +113,22 @@ def test_apply_neumann_copy_full_faces():
     np.testing.assert_array_equal(out[-1, s, s], u[-2, s, s])
     np.testing.assert_array_equal(out[s, 0, s], u[s, 1, s])
     np.testing.assert_array_equal(out[s, s, 0], u[s, s, 1])
+
+
+def test_profile_padded_stages_structure():
+    """The padded-cycle profiler covers every fused stage plus the jnp
+    coarse subtree and the outer double-float stages."""
+    from multigrid_parallel_tpu.cycles import CycleConfig
+    from multigrid_parallel_tpu.utils.timing import profile_padded_stages
+
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=3)  # 17^3
+    rows, lat = profile_padded_stages(
+        hier, CycleConfig(n_smooth=2), reps=1, jnp_level_max=9
+    )
+    labels = [lbl for lbl, _ in rows]
+    assert any("smoother (from-zero" in lbl for lbl in labels)
+    assert any("smoother (pipelined" in lbl for lbl in labels)
+    assert any("jnp subtree" in lbl for lbl in labels)
+    assert any("EFT residual+norm" in lbl for lbl in labels)
+    assert all(t >= 0.0 for _, t in rows)
+    assert lat >= 0.0
