@@ -70,6 +70,20 @@ def run(levels: int = 7, n_smooth: int = 2, repeats: int = 6,
     best = min(times)
     median = statistics.median(times)
 
+    # Each timed call pays one dispatch + scalar-readback round trip
+    # (~26 ms through the axon tunnel — docs/ROOFLINE.md); measure it so
+    # the artifact records how much of the wall is tunnel, not chip.
+    import jax.numpy as jnp
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    lat_fn = jax.jit(lambda t: jnp.sum(t))
+    float(lat_fn(tiny))
+    lat_times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(lat_fn(tiny))
+        lat_times.append(time.perf_counter() - t0)
+    lat = min(lat_times)
+
     n = hier.finest_n
     interior = (n - 2) ** 3
     # FMG bootstrap work ~ one extra V-cycle equivalent across levels
@@ -85,6 +99,8 @@ def run(levels: int = 7, n_smooth: int = 2, repeats: int = 6,
         "detail": {
             "wall_time_s": round(best, 4),
             "wall_time_median_s": round(median, 4),
+            "sync_latency_s": round(lat, 4),
+            "wall_time_device_est_s": round(max(best - lat, 0.0), 4),
             "vs_baseline_median": round(
                 updates / median / 1e6 / BASELINE_MUPS, 2
             ),

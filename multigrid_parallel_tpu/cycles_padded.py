@@ -169,6 +169,7 @@ def _make_descend(
     cfg: CycleConfig,
     coarse_solve,
     jnp_level_max: int = _JNP_LEVEL_MAX,
+    block_i: int = 16,
 ):
     """Build descend(e_pad, r_pad, level, from_zero) -> e_pad': one
     correction V-cycle from ``level`` down, padded layout end-to-end.
@@ -201,11 +202,11 @@ def _make_descend(
         # redundancy); the planner downgrades it on smaller levels.
         if from_zero:
             e = pk.rb_smooth_from_zero_fused(
-                r, h, n_smooth, n, red_first=True, block_i=16
+                r, h, n_smooth, n, red_first=True, block_i=block_i
             )
         else:
             e = pk.rb_smooth_fused_pipelined(
-                e, r, h, n_smooth, n, red_first=True, block_i=16
+                e, r, h, n_smooth, n, red_first=True, block_i=block_i
             )
         _, sj, sk = e.shape
         bi_rr = pk.rr_fused_block_i(n, sj, sk, e.dtype.itemsize)
@@ -225,14 +226,17 @@ def _make_descend(
             )
         else:
             e = prolong_correct_padded(ec, e, nc)
-            e = pk.rb_smooth_fused_pipelined(e, r, h, n_smooth, n, red_first=False)
+            e = pk.rb_smooth_fused_pipelined(
+                e, r, h, n_smooth, n, red_first=False, block_i=block_i
+            )
         return e
 
     return descend
 
 
 def make_padded_correction_cycle(
-    hier32: Hierarchy, cfg: CycleConfig, jnp_level_max: int = _JNP_LEVEL_MAX
+    hier32: Hierarchy, cfg: CycleConfig, jnp_level_max: int = _JNP_LEVEL_MAX,
+    block_i: int = 16,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Build cycle(e_pad, r_pad) -> e_pad': one V-cycle on the correction
     equation A e = r at the finest level (both padded f32), Pallas
@@ -240,7 +244,7 @@ def make_padded_correction_cycle(
     coarse_solve = coarse_ops.make_coarse_solver(
         hier32.coarse_n, hier32.spacing(0), 3, hier32.dtype, cfg.coarse_method
     )
-    descend = _make_descend(hier32, cfg, coarse_solve, jnp_level_max)
+    descend = _make_descend(hier32, cfg, coarse_solve, jnp_level_max, block_i)
     level = hier32.num_levels - 1
 
     def cycle(e, r, from_zero=False):
@@ -250,7 +254,8 @@ def make_padded_correction_cycle(
 
 
 def make_padded_fmg_bootstrap(
-    hier32: Hierarchy, cfg: CycleConfig, jnp_level_max: int = _JNP_LEVEL_MAX
+    hier32: Hierarchy, cfg: CycleConfig, jnp_level_max: int = _JNP_LEVEL_MAX,
+    block_i: int = 16,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build bootstrap(r_pad) -> e_pad: a full-multigrid pass on the
     CORRECTION equation A e = r, entirely in the padded f32 layout.
@@ -267,7 +272,7 @@ def make_padded_fmg_bootstrap(
     coarse_solve = coarse_ops.make_coarse_solver(
         hier32.coarse_n, hier32.spacing(0), 3, hier32.dtype, cfg.coarse_method
     )
-    descend = _make_descend(hier32, cfg, coarse_solve, jnp_level_max)
+    descend = _make_descend(hier32, cfg, coarse_solve, jnp_level_max, block_i)
     top = hier32.num_levels - 1
 
     def bootstrap(r):
@@ -298,6 +303,7 @@ def make_on_device_df_solver(
     inner_cycles: int = 4,
     jnp_level_max: int = _JNP_LEVEL_MAX,
     use_fmg: bool = False,
+    block_i: int = 16,
 ):
     """run(u_hi, u_lo, f_hi, f_lo) -> (u_hi, u_lo, norm, n_outer):
     the all-f32 performance solver. The f64 state of the mixed solver is
@@ -321,8 +327,11 @@ def make_on_device_df_solver(
 
     f32 = jnp.float32
     hier32 = dataclasses.replace(hier, dtype=f32)
-    inner = make_padded_correction_cycle(hier32, cfg, jnp_level_max)
-    fmg = make_padded_fmg_bootstrap(hier32, cfg, jnp_level_max) if use_fmg else None
+    inner = make_padded_correction_cycle(hier32, cfg, jnp_level_max, block_i)
+    fmg = (
+        make_padded_fmg_bootstrap(hier32, cfg, jnp_level_max, block_i)
+        if use_fmg else None
+    )
     level = hier.num_levels - 1
     n = hier.sizes[level]
     h = hier.spacing(level)
