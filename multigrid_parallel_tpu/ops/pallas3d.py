@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multigrid_parallel_tpu.ops.stencils_3d import BLACK, RED
 
-_VMEM_LIMIT = 100 * 1024 * 1024  # v5e has >100MB of VMEM; default cap is 16MB
+_VMEM_LIMIT = 120 * 1024 * 1024  # v5e scoped limit: 120MB verified on-chip
 _VMEM_BUDGET = 88 * 1024 * 1024  # planning budget (leave room for temps)
 
 
@@ -198,10 +198,11 @@ def _make_rb_kernel(n, si, sj, sk, bi, h, n_iter, red_first):
         eu = eu_ref[:]
         ef = ef_ref[:]
         interior, parity = _slab_masks(n, si, sj, sk, start)
+        h2ef = h2 * ef[1:-1]  # hoisted out of the sweep loop
         for _ in range(n_iter):
             for c in colors:
                 nbr, cen = _nbr_sum(eu)
-                upd = (nbr - h2 * ef[1:-1]) * (1.0 / 6.0)
+                upd = (nbr - h2ef) * (1.0 / 6.0)
                 m = interior[1:-1] & (parity[1:-1] == c)
                 mid = jnp.where(m, upd, cen)
                 # stitch back via concatenate (.at[].set would lower to
@@ -284,12 +285,13 @@ def _rb_body(h, n_iter, red_first):
     colors = (RED, BLACK) if red_first else (BLACK, RED)
 
     def body(eu, ef, interior, parity):
-        # hoist the per-color masks out of the sweep loop
+        # hoist the per-color masks and h^2 f out of the sweep loop
         masks = {c: interior[1:-1] & (parity[1:-1] == c) for c in set(colors)}
+        h2ef = h2 * ef[1:-1]
         for _ in range(n_iter):
             for c in colors:
                 nbr, cen = _nbr_sum(eu)
-                upd = (nbr - h2 * ef[1:-1]) * (1.0 / 6.0)
+                upd = (nbr - h2ef) * (1.0 / 6.0)
                 mid = jnp.where(masks[c], upd, cen)
                 eu = jnp.concatenate([eu[:1], mid, eu[-1:]], axis=0)
         return eu
@@ -311,6 +313,13 @@ def _residual_body(h):
 
 
 def _make_rb_kernel_pipelined(n, si, sj, sk, bi, h, n_iter, red_first, nb):
+    # NOTE: a trapezoid-SHRUNK body (update only the still-valid planes
+    # per half-sweep, rectangular fallback for boundary-anchored slabs
+    # via lax.cond) was tried and MEASURED SLOWER: 1.43 ms vs 0.79 ms at
+    # 257^3/bi=16 — the two-branch cond costs ~2x (both branches'
+    # VMEM stack is allocated, needing a 120MB scoped limit, and the
+    # predicated execution defeats the -14% op saving). Rectangular
+    # compute + masked select stays the fastest form. docs/ROOFLINE.md.
     return _make_pipelined_kernel(
         n, si, sj, sk, bi, 2 * n_iter, nb, _rb_body(h, n_iter, red_first)
     )
@@ -611,10 +620,11 @@ def _make_rb_smooth_residual_kernel(n, si, sj, sk, bi, h, n_iter, red_first):
         eu = eu_ref[:]
         ef = ef_ref[:]
         interior, parity = _slab_masks(n, si, sj, sk, start)
+        h2ef = h2 * ef[1:-1]  # hoisted out of the sweep loop
         for _ in range(n_iter):
             for c in colors:
                 nbr, cen = _nbr_sum(eu)
-                upd = (nbr - h2 * ef[1:-1]) * (1.0 / 6.0)
+                upd = (nbr - h2ef) * (1.0 / 6.0)
                 m = interior[1:-1] & (parity[1:-1] == c)
                 mid = jnp.where(m, upd, cen)
                 eu = jnp.concatenate([eu[:1], mid, eu[-1:]], axis=0)
@@ -978,13 +988,10 @@ def _make_prolong_smooth_kernel(n, nc, si, sic, sj, sk, sjc, skc, bi, h,
 
         interior, parity = _slab_masks(n, si, sj, sk, start)
         ef = ef2[slot]
-        masks = {c: interior[1:-1] & (parity[1:-1] == c) for c in (BLACK, RED)}
-        for _ in range(n_iter):
-            for c in (BLACK, RED):  # postSmoother order (mg_3d.h:711-781)
-                nbr, cen = _nbr_sum(eu)
-                upd = (nbr - h2 * ef[1:-1]) * (1.0 / 6.0)
-                mid = jnp.where(masks[c], upd, cen)
-                eu = jnp.concatenate([eu[:1], mid, eu[-1:]], axis=0)
+        # postSmoother order (mg_3d.h:711-781); shares _rb_body with the
+        # smoothing kernels (rectangular — see the shrink note at
+        # _make_rb_kernel_pipelined)
+        eu = _rb_body(h, n_iter, False)(eu, ef, interior, parity)
 
         @pl.when(i >= 2)
         def _():

@@ -603,10 +603,11 @@ def _make_prolong_smooth_ext_kernel(n, nc, L, si, sic, sj, sk, sjc, skc, bi,
         ef = ef2[slot]
         masks = {c: interior[1:-1] & (parity[1:-1] == c)
                  for c in (pk.BLACK, pk.RED)}
+        h2ef = h2 * ef[1:-1]  # hoisted out of the sweep loop
         for _ in range(n_iter):
             for c in (pk.BLACK, pk.RED):  # postSmoother order
                 nbr, cen = pk._nbr_sum(eu)
-                upd = (nbr - h2 * ef[1:-1]) * (1.0 / 6.0)
+                upd = (nbr - h2ef) * (1.0 / 6.0)
                 mid = jnp.where(masks[c], upd, cen)
                 eu = jnp.concatenate([eu[:1], mid, eu[-1:]], axis=0)
 
