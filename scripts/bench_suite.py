@@ -125,6 +125,7 @@ def crossover_rows():
         for _ in range(3):
             t0 = time.perf_counter()
             out = run(*args)
+            float(out[2])  # sync
             best = min(best, time.perf_counter() - t0)
         rows.append(f"| {lmax} | {best:.4f} |")
         print(rows[-1], flush=True)
