@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--fmg", action="store_true",
                    help="FMG bootstrap (mg_dirichlet_analytic.c:771-806)")
     p.add_argument("--smoother", default="rb", choices=("rb", "jacobi", "lex"))
+    p.add_argument("--gamma", type=int, default=1,
+                   help="recursion count per level: 1=V-cycle, 2=W-cycle")
     p.add_argument("--mixed", action="store_true",
                    help="f32 V-cycle + f64 defect correction (TPU fast path)")
     p.add_argument("--f32", action="store_true", help="pure float32")
@@ -151,7 +153,8 @@ def main(argv=None):
             num_levels=args.num_levels, length=problem.length,
             dtype=jnp.float32 if args.f32 else jnp.float64,
         )
-        cfg = CycleConfig(n_smooth=args.gs_iter, smoother=args.smoother)
+        cfg = CycleConfig(n_smooth=args.gs_iter, smoother=args.smoother,
+                          gamma=args.gamma)
         solver_fn = solve_mixed if args.mixed else solve
         kw = {} if args.mixed else {"use_fmg": args.fmg}
         res = solver_fn(

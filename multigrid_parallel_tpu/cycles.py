@@ -39,12 +39,18 @@ class CycleConfig:
     smoother: "rb" (red-black GS, the reference's parallel default),
       "jacobi" (weighted Jacobi), or "lex" (sequential GS oracle).
     coarse_method: "lu" | "inverse" (see ops.coarse).
+    gamma: recursion count per level — 1 = V-cycle (the reference's only
+      cycle shape), 2 = W-cycle (beyond-reference; each coarse solve is
+      visited 2^depth times, so the static unroll grows exponentially —
+      practical at moderate depth, and rarely worth it for Poisson where
+      the V-cycle already contracts ~0.15/cycle).
     """
 
     n_smooth: int = 2
     smoother: str = "rb"
     omega: float = 2.0 / 3.0
     coarse_method: str = "lu"
+    gamma: int = 1
 
 
 def _ops(ndim: int):
@@ -95,9 +101,15 @@ def _descend(
         r = ops.residual(u, f, h)  # calculateResidual
     with jax.named_scope(f"L{level}/Restrict"):
         fc = ops.restrict_full_weighting(r)  # restrictResidual
-    # Recurse with zero initial guess (the mg_3d.h:1254-1260 memset).
-    ec0 = jnp.zeros((hier.sizes[level - 1],) * hier.ndim, dtype=u.dtype)
-    ec = _descend(ops, hier, cfg, coarse_solve, ec0, fc, level - 1, correction=True)
+    # Recurse with zero initial guess (the mg_3d.h:1254-1260 memset);
+    # gamma > 1 revisits the coarse correction (W-cycle), re-entering
+    # from the previous ec.
+    ec = jnp.zeros((hier.sizes[level - 1],) * hier.ndim, dtype=u.dtype)
+    n_rec = cfg.gamma if level - 1 > 0 else 1
+    for _ in range(n_rec):
+        ec = _descend(
+            ops, hier, cfg, coarse_solve, ec, fc, level - 1, correction=True
+        )
     with jax.named_scope(f"L{level}/ProlongateCorrect"):
         u = ops.prolong_correct(ec, u)  # prolongateAndCorrectError
     with jax.named_scope(f"L{level}/Smoother2"):

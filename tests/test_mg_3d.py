@@ -133,3 +133,18 @@ def test_facade_profiled_cycle_times_stages():
     assert "Smoother1" in table and "Recurse, Direct Solve" in table
     s.reset_timing_info()
     assert sum(s.timing[-1].num_calls) == 0
+
+
+def test_w_cycle_converges_faster_per_cycle():
+    """gamma=2 (W-cycle, beyond-reference) contracts at least as fast per
+    cycle as the V-cycle and converges in fewer or equal cycles."""
+    import multigrid_parallel_tpu as mg
+
+    hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=4)
+    v = mg.solve(mg.poisson_3d_quadratic(), hier,
+                 mg.CycleConfig(n_smooth=2, gamma=1), rel_tol=1e-8)
+    w = mg.solve(mg.poisson_3d_quadratic(), hier,
+                 mg.CycleConfig(n_smooth=2, gamma=2), rel_tol=1e-8)
+    assert v.converged and w.converged
+    assert w.n_cycles <= v.n_cycles
+    assert w.error_norm < 1e-8
