@@ -395,12 +395,18 @@ def make_sharded_df_cycle(
     cfg: CycleConfig,
     mesh: Mesh,
     plan: Optional[ShardPlan] = None,
+    inner_cycles: int = 1,
 ) -> Tuple[Callable, ShardPlan]:
     """Sharded all-f32 double-float cycle: like make_sharded_mixed_cycle
     but with no f64 anywhere — the solution is a (hi, lo) f32 pair and
     the outer residual is the compensated EFT evaluation (see
     ops.pallas3d for the numerics; here the XLA elementwise form, which
     shard_map partitions like any other stencil).
+
+    ``inner_cycles`` runs several f32 correction V-cycles on the same
+    normalized defect before the double-float update, amortizing the
+    EFT residual + psum over more smoothing work (the same knob the
+    fused distributed solver and the single-chip df solver expose).
 
     cycle((u_hi, u_lo), (f_hi, f_lo)) -> ((u_hi', u_lo'), norm).
     """
@@ -437,20 +443,23 @@ def make_sharded_df_cycle(
         mask = _masks(axisn, u_hi.shape[0], n_valid, None)
         return jnp.where(mask, r, jnp.zeros_like(r))
 
+    def inner_vcycle(e, r32, axisn, n_dev):
+        e = rb_smooth_local(e, r32, h, cfg.n_smooth, n_valid, axisn, n_dev, True)
+        rr = residual_local(e, r32, h, n_valid, axisn, n_dev)
+        fc = restrict_local(rr, n_valid, axisn, n_dev)
+        ec = _sharded_correction(fc, hier32, cfg, plan, coarse32, level - 1, 1)
+        e = prolong_correct_local(ec, e, hier.sizes[level - 1], axisn, n_dev)
+        return rb_smooth_local(e, r32, h, cfg.n_smooth, n_valid, axisn, n_dev, False)
+
     def local_fn(u_hi, u_lo, f_hi, f_lo):
         axisn, n_dev = plan.axis, plan.n_dev
         r = residual_df_local(u_hi, u_lo, f_hi, f_lo, axisn, n_dev)
         nrm = jnp.sqrt(norm_sq_local(r, axisn))
         safe = jnp.maximum(nrm, jnp.asarray(1e-30, dtype=nrm.dtype))
         r32 = r / safe
-        e = rb_smooth_local(
-            jnp.zeros_like(r32), r32, h, cfg.n_smooth, n_valid, axisn, n_dev, True
-        )
-        rr = residual_local(e, r32, h, n_valid, axisn, n_dev)
-        fc = restrict_local(rr, n_valid, axisn, n_dev)
-        ec = _sharded_correction(fc, hier32, cfg, plan, coarse32, level - 1, 1)
-        e = prolong_correct_local(ec, e, hier.sizes[level - 1], axisn, n_dev)
-        e = rb_smooth_local(e, r32, h, cfg.n_smooth, n_valid, axisn, n_dev, False)
+        e = jnp.zeros_like(r32)
+        for _ in range(inner_cycles):  # static unroll
+            e = inner_vcycle(e, r32, axisn, n_dev)
         u_hi, u_lo = pk.df_add(u_hi, u_lo, safe * e)
         r_after = residual_df_local(u_hi, u_lo, f_hi, f_lo, axisn, n_dev)
         norm = jnp.sqrt(norm_sq_local(r_after, axisn))

@@ -202,3 +202,26 @@ def test_sharded_df_cycle_converges_all_f32(mesh):
     exact = evaluate_on_grid(prob.analytic, hier, hier.num_levels - 1)
     err = float(jnp.sqrt(jnp.sum((u - exact) ** 2)))
     assert err < 5e-8, err
+
+
+def test_sharded_df_cycle_inner_cycles_amortize(mesh):
+    """inner_cycles=2 on the jnp sharded df cycle: fewer outer defect
+    steps to tolerance (the amortization knob shared with the fused
+    distributed solver and the single-chip df solver)."""
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=3)  # 17^3
+    cfg = CycleConfig(n_smooth=2)
+    prob = poisson_3d_quadratic()
+    steps = {}
+    for ic in (1, 2):
+        cycle, plan = sh.make_sharded_df_cycle(hier, cfg, mesh, inner_cycles=ic)
+        u_hi, u_lo, f_hi, f_lo = sh.setup_df_problem_sharded(prob, hier, mesh, plan)
+        init = float(jnp.sqrt(jnp.sum(f_hi.astype(jnp.float64) ** 2)))
+        norm = init
+        for it in range(25):
+            u_hi, u_lo, norm_d = cycle(u_hi, u_lo, f_hi, f_lo)
+            norm = float(norm_d)
+            if norm <= 1e-8 * init:
+                break
+        assert norm <= 1e-8 * init, (ic, norm)
+        steps[ic] = it + 1
+    assert steps[2] < steps[1], steps
