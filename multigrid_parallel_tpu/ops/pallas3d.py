@@ -1014,10 +1014,14 @@ def _make_prolong_smooth_kernel(n, nc, si, sic, sj, sk, sjc, skc, bi, h,
 
 
 def ps_fused_block_i(n: int, sj: int, sk: int, n_iter: int,
-                     itemsize: int = 4, requested: int = 8):
-    """block_i for prolong_smooth_fused_padded, or 0 (caller falls back)."""
+                     itemsize: int = 4, requested: int = 16):
+    """block_i for prolong_smooth_fused_padded, or 0 (caller falls back).
+
+    Larger blocks amortize the trapezoidal halo recompute (the stage is
+    compute-bound, docs/ROOFLINE.md): at 257³ the ladder lands on 12
+    (16 overflows the VMEM planning budget), at 129³ on 16."""
     plane = sj * sk * itemsize
-    for bi in (requested, 8, 4, 2):
+    for bi in (requested, 12, 8, 4, 2):
         if bi > requested:
             continue
         si = bi + 4 * n_iter + 1
