@@ -93,6 +93,9 @@ def main(argv=None):
         return
 
     if args.electrospray:
+        if args.fmg:
+            p.error("--fmg is not supported with --electrospray "
+                    "(MixedBCSolver has no FMG bootstrap)")
         from multigrid_parallel_tpu.hierarchy import Hierarchy as _H
         from multigrid_parallel_tpu.mixed_bc import MixedBCSolver
         from multigrid_parallel_tpu.models.electrospray import electrospray_problem
@@ -156,10 +159,9 @@ def main(argv=None):
         cfg = CycleConfig(n_smooth=args.gs_iter, smoother=args.smoother,
                           gamma=args.gamma)
         solver_fn = solve_mixed if args.mixed else solve
-        kw = {} if args.mixed else {"use_fmg": args.fmg}
         res = solver_fn(
             problem, hier, cfg, rel_tol=args.tol, max_cycles=args.max_cycles,
-            verbose=not args.quiet, **kw,
+            verbose=not args.quiet, use_fmg=args.fmg,
         )
         wall, err, u, n_cycles = (
             res.wall_time_s, res.error_norm, res.u, res.n_cycles,

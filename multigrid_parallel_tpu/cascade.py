@@ -23,6 +23,12 @@ because this module exists for parity:
 ``faithful=False`` fills ``b`` with the coarse problem consistent with
 the overwrite semantics — the ORIGINAL equation on the coarse grid
 (b[i] = -h_c^2 rhs(x_i) interior, true boundary values at the ends).
+Note: this helps at shallow hierarchies (num_levels == 2) but can
+OVERSHOOT at deeper ones, because the up-leg's midpoint interpolation
+ADDS the interpolant onto already-smoothed values (mg_1d_old.c:129-130)
+— with a nonzero coarse solution planted, midpoints double-count. That
+is a structural quirk of the reference scheme itself, which its
+never-filled (zero) coarse solve happens to sidestep.
 
 The strided sequential Gauss-Seidel sweeps are lax.scan loops (this is
 a legacy-parity driver, not a performance path — the TPU-first 1D path
@@ -119,8 +125,14 @@ def cascade_solve_1d(
     # ---- coarse direct solve (mg_1d_old.c:92-119) ----
     nc = n_level
     diag = jnp.full(nc, 2.0, dtype=jnp.float64).at[0].set(1.0).at[-1].set(1.0)
-    off = jnp.full(nc - 1, -1.0, dtype=jnp.float64).at[0].set(0.0).at[-1].set(0.0)
-    a_mat = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
+    # Boundary rows are identities: only the BOUNDARY rows' off-diagonal
+    # entries vanish (A[0,1] on the super-diagonal, A[nc-1,nc-2] on the
+    # sub-diagonal). Interior rows adjacent to the boundary keep their
+    # -1 coupling (mg_1d_old.c fills A[nii-1] for i=1 and A[nii+1] for
+    # i=N-2), so the two off-diagonals zero DIFFERENT ends.
+    sup = jnp.full(nc - 1, -1.0, dtype=jnp.float64).at[0].set(0.0)
+    sub = jnp.full(nc - 1, -1.0, dtype=jnp.float64).at[-1].set(0.0)
+    a_mat = jnp.diag(diag) + jnp.diag(sup, 1) + jnp.diag(sub, -1)
     if faithful:
         b = jnp.zeros(nc, dtype=jnp.float64)  # never filled: mg_1d_old.c:99
     else:

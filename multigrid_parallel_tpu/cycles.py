@@ -43,7 +43,11 @@ class CycleConfig:
       cycle shape), 2 = W-cycle (beyond-reference; each coarse solve is
       visited 2^depth times, so the static unroll grows exponentially —
       practical at moderate depth, and rarely worth it for Poisson where
-      the V-cycle already contracts ~0.15/cycle).
+      the V-cycle already contracts ~0.15/cycle). Honored by every
+      CycleConfig-taking cycle: cycles._descend, the padded Pallas path
+      (cycles_padded._make_descend), and the sharded paths (parallel/
+      sharded.py via _recurse_sharded, parallel/sharded_padded.py).
+      MixedBCSolver takes n_smooth directly and runs V-cycles only.
     """
 
     n_smooth: int = 2
@@ -332,11 +336,24 @@ def solve_mixed(
     cfg: CycleConfig = CycleConfig(),
     rel_tol: float = 1e-8,
     max_cycles: int = 100,
+    use_fmg: bool = False,
     verbose: bool = False,
 ) -> SolveResult:
-    """Host-loop driver around the mixed-precision cycle (f64 hierarchy)."""
+    """Host-loop driver around the mixed-precision cycle (f64 hierarchy).
+
+    ``use_fmg`` bootstraps with a full-multigrid pass in the outer
+    precision before the mixed defect loop (mg_dirichlet_analytic.c's
+    useFMG driver combined with the TPU mixed-precision iteration)."""
     cycle = jax.jit(make_mixed_cycle(hier, cfg))
     u, f = setup_problem(problem, hier)
+    if use_fmg:
+        coarse_solve = coarse_ops.make_coarse_solver(
+            hier.coarse_n, hier.spacing(0), hier.ndim, hier.dtype,
+            cfg.coarse_method,
+        )
+        bc_fn = lambda lvl: evaluate_on_grid(problem.bc, hier, lvl)
+        fmg = jax.jit(lambda f: fmg_initialize(f, hier, coarse_solve, cfg, bc_fn))
+        u = fmg(f)
     return _host_solve_loop(problem, hier, cycle, u, f, rel_tol, max_cycles, verbose)
 
 

@@ -176,8 +176,20 @@ def _make_descend(
     Levels <= ``jnp_level_max`` use the masked-roll XLA path instead
     (their data fits on-core; Pallas launch overhead dominates there —
     see scripts/bench_suite.py's crossover sweep). Tests inject a small
-    ``jnp_level_max`` to force the Pallas kernels at test-sized grids."""
+    ``jnp_level_max`` to force the Pallas kernels at test-sized grids.
+
+    ``cfg.gamma`` > 1 revisits each coarse correction (W-cycle), exactly
+    as cycles._descend does — the static unroll grows as gamma^depth."""
     n_smooth = cfg.n_smooth
+
+    def _recurse(descend, rc, level):
+        # gamma visits of the coarse level (W-cycle); the coarsest level
+        # is always visited once (a direct solve is exact).
+        ec = descend(None, rc, level, from_zero=True)
+        if level > 0:
+            for _ in range(cfg.gamma - 1):
+                ec = descend(ec, rc, level)
+        return ec
 
     def descend(e, r, level, from_zero=False):
         """One correction V-cycle level; e=None with from_zero=True means
@@ -192,7 +204,7 @@ def _make_descend(
                 e = jnp.zeros_like(r)  # tiny level: XLA folds this
             e = _rb_smooth_padded_jnp(e, r, h, n_smooth, n, red_first=True)
             rc = restrict_padded(_residual_padded_jnp(e, r, h, n), n)
-            ec = descend(None, rc, level - 1, from_zero=True)
+            ec = _recurse(descend, rc, level - 1)
             e = prolong_correct_padded(ec, e, hier32.sizes[level - 1])
             return _rb_smooth_padded_jnp(e, r, h, n_smooth, n, red_first=False)
         # NOTE: measured FASTER than the fused smooth+residual kernel
@@ -217,7 +229,7 @@ def _make_descend(
             res = pk.residual_fused_pipelined(e, r, h, n)
             rc = restrict_padded(res, n)
         nc = hier32.sizes[level - 1]
-        ec = descend(None, rc, level - 1, from_zero=True)
+        ec = _recurse(descend, rc, level - 1)
         bi_ps = pk.ps_fused_block_i(n, sj, sk, n_smooth, e.dtype.itemsize)
         if bi_ps:
             # one HBM pass: interpolate+correct+post-smooth fused

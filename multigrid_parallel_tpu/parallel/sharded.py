@@ -244,9 +244,11 @@ def _sharded_correction(
     coarse_solve,
     level: int,
     depth: int,
+    e_init=None,
 ):
-    """Solve the correction equation at `level` (zero initial guess) with
-    the finest `plan.n_sharded` levels sharded; deeper levels replicated.
+    """Solve the correction equation at `level` (zero initial guess, or
+    ``e_init`` on a gamma/W-cycle revisit) with the finest
+    `plan.n_sharded` levels sharded; deeper levels replicated.
 
     Stage order matches vcycle (mg_3d.h:1242-1362).
     """
@@ -260,7 +262,10 @@ def _sharded_correction(
         f_rep = jax.lax.all_gather(f_local, axis, axis=0, tiled=True)
         f_rep = f_rep[:n_valid]
         sub = dataclasses.replace(hier, num_levels=level + 1)
-        e0 = jnp.zeros_like(f_rep)
+        if e_init is None:
+            e0 = jnp.zeros_like(f_rep)
+        else:
+            e0 = jax.lax.all_gather(e_init, axis, axis=0, tiled=True)[:n_valid]
         e_rep = _descend(ops3, sub, cfg, coarse_solve, e0, f_rep, level, correction=True)
         # Back to sharded: each device takes its plane slice.
         local = plan.local_planes(depth)
@@ -272,14 +277,26 @@ def _sharded_correction(
             e_pad, (g0, zero, zero), (local, n_valid, n_valid)
         )
 
-    u = jnp.zeros_like(f_local)
+    u = jnp.zeros_like(f_local) if e_init is None else e_init
     u = rb_smooth_local(u, f_local, h, cfg.n_smooth, n_valid, axis, n_dev, True)
     r = residual_local(u, f_local, h, n_valid, axis, n_dev)
     fc = restrict_local(r, n_valid, axis, n_dev)
-    ec = _sharded_correction(fc, hier, cfg, plan, coarse_solve, level - 1, depth + 1)
+    ec = _recurse_sharded(fc, hier, cfg, plan, coarse_solve, level - 1, depth + 1)
     u = prolong_correct_local(ec, u, hier.sizes[level - 1], axis, n_dev)
     u = rb_smooth_local(u, f_local, h, cfg.n_smooth, n_valid, axis, n_dev, False)
     return u
+
+
+def _recurse_sharded(fc, hier, cfg, plan, coarse_solve, level, depth):
+    """gamma visits of the coarse correction (W-cycle when gamma > 1);
+    the coarsest level is always visited once (direct solve is exact)."""
+    ec = _sharded_correction(fc, hier, cfg, plan, coarse_solve, level, depth)
+    if level > 0:
+        for _ in range(cfg.gamma - 1):
+            ec = _sharded_correction(
+                fc, hier, cfg, plan, coarse_solve, level, depth, e_init=ec
+            )
+    return ec
 
 
 def sharded_v_cycle_local(
@@ -301,7 +318,7 @@ def sharded_v_cycle_local(
     u = rb_smooth_local(u_local, f_local, h, cfg.n_smooth, n_valid, axis, n_dev, True)
     r = residual_local(u, f_local, h, n_valid, axis, n_dev)
     fc = restrict_local(r, n_valid, axis, n_dev)
-    ec = _sharded_correction(fc, hier, cfg, plan, coarse_solve, level - 1, 1)
+    ec = _recurse_sharded(fc, hier, cfg, plan, coarse_solve, level - 1, 1)
     u = prolong_correct_local(ec, u, hier.sizes[level - 1], axis, n_dev)
     u = rb_smooth_local(u, f_local, h, cfg.n_smooth, n_valid, axis, n_dev, False)
     r = residual_local(u, f_local, h, n_valid, axis, n_dev)
@@ -372,7 +389,7 @@ def make_sharded_mixed_cycle(
         )
         rr = residual_local(u32, r32, h, n_valid, axisn, n_dev)
         fc = restrict_local(rr, n_valid, axisn, n_dev)
-        ec = _sharded_correction(fc, hier32, cfg, plan, coarse32, level - 1, 1)
+        ec = _recurse_sharded(fc, hier32, cfg, plan, coarse32, level - 1, 1)
         u32 = prolong_correct_local(ec, u32, hier.sizes[level - 1], axisn, n_dev)
         u32 = rb_smooth_local(u32, r32, h, cfg.n_smooth, n_valid, axisn, n_dev, False)
         u = u + safe * u32.astype(u.dtype)
@@ -447,7 +464,7 @@ def make_sharded_df_cycle(
         e = rb_smooth_local(e, r32, h, cfg.n_smooth, n_valid, axisn, n_dev, True)
         rr = residual_local(e, r32, h, n_valid, axisn, n_dev)
         fc = restrict_local(rr, n_valid, axisn, n_dev)
-        ec = _sharded_correction(fc, hier32, cfg, plan, coarse32, level - 1, 1)
+        ec = _recurse_sharded(fc, hier32, cfg, plan, coarse32, level - 1, 1)
         e = prolong_correct_local(ec, e, hier.sizes[level - 1], axisn, n_dev)
         return rb_smooth_local(e, r32, h, cfg.n_smooth, n_valid, axisn, n_dev, False)
 

@@ -245,9 +245,14 @@ def _build_local_cycle(
         n = hier32.sizes[level]
         if depth == plan.n_sharded:
             # Gather to replicated; run the single-chip padded cycle
-            # (same fused kernels); re-slice this device's planes.
+            # (same fused kernels); re-slice this device's planes. A
+            # non-from_zero entry (gamma revisit) gathers e too.
             r_rep = jax.lax.all_gather(r, axis, axis=0, tiled=True)[:n]
-            e_rep = rep_cycle(None, r_rep, from_zero=True)
+            if from_zero:
+                e_rep = rep_cycle(None, r_rep, from_zero=True)
+            else:
+                e_gath = jax.lax.all_gather(e, axis, axis=0, tiled=True)[:n]
+                e_rep = rep_cycle(e_gath, r_rep)
             L = plan.local_planes(depth)
             pad = plan.padded_planes(depth) - n
             e_pad = jnp.pad(e_rep, ((0, pad), (0, 0), (0, 0)))
@@ -294,6 +299,12 @@ def _build_local_cycle(
             rc = restrict_local_padded(res, n, axis, n_dev)
 
         ec = descend(None, rc, level - 1, depth + 1, from_zero=True)
+        if level - 1 > 0:
+            # gamma > 1 revisits the coarse correction (W-cycle), exactly
+            # as cycles._descend / cycles_padded._make_descend do. The
+            # replicated sub-cycle honors gamma internally.
+            for _ in range(cfg.gamma - 1):
+                ec = descend(ec, rc, level - 1, depth + 1)
 
         # --- prolong + correct + post-smooth (black-first)
         bi_p = px.prolong_ext_block_i(L, sj, sk, n_smooth,

@@ -43,6 +43,20 @@ def test_cli_rejects_bad_coarse_n():
     assert "power of two" in (r.stderr + r.stdout)
 
 
+def test_cli_fmg_with_mixed():
+    # --fmg used to be silently dropped when combined with --mixed; now
+    # solve_mixed bootstraps with an f64 FMG pass.
+    r = _run("5", "2", "2", "--quiet", "--tol", "1e-6", "--mixed", "--fmg")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "cycles:" in r.stdout
+
+
+def test_cli_fmg_with_electrospray_errors_loudly():
+    r = _run("5", "2", "2", "--quiet", "--electrospray", "--fmg")
+    assert r.returncode != 0
+    assert "--fmg is not supported" in (r.stderr + r.stdout)
+
+
 def test_cli_vtk_output(tmp_path):
     out = tmp_path / "err.vtk"
     r = _run("5", "2", "2", "--quiet", "--tol", "1e-6", "--vtk", str(out))

@@ -41,9 +41,13 @@ def test_prolong_padded_matches_unpadded():
     np.testing.assert_allclose(np.asarray(pk.unpad3(got_p, nf)), want, rtol=0, atol=1e-13)
 
 
-def test_padded_correction_cycle_matches_jnp_cycle():
+@pytest.mark.parametrize("gamma", [1, 2])
+def test_padded_correction_cycle_matches_jnp_cycle(gamma):
+    # gamma=2 pins the W-cycle plumbing of cycles_padded._make_descend
+    # against the reference-shaped recursion (cycles._descend, which
+    # honors gamma at every level).
     hier32 = Hierarchy(ndim=3, coarse_n=5, num_levels=3, dtype=jnp.float32)
-    cfg = CycleConfig(n_smooth=2)
+    cfg = CycleConfig(n_smooth=2, gamma=gamma)
     n = hier32.finest_n
     rng = np.random.default_rng(7)
     r = np.zeros((n, n, n), np.float32)

@@ -36,9 +36,12 @@ def test_plan_sharding_alignment():
     assert plan.n_sharded <= hier.num_levels - 1
 
 
-def test_sharded_cycle_matches_single_device(mesh):
+@pytest.mark.parametrize("gamma", [1, 2])
+def test_sharded_cycle_matches_single_device(mesh, gamma):
+    # gamma=2 pins the W-cycle plumbing through _recurse_sharded (both
+    # the sharded revisits and the gather-level e_init handoff).
     hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)  # 33^3
-    cfg = CycleConfig(n_smooth=2)
+    cfg = CycleConfig(n_smooth=2, gamma=gamma)
     prob = poisson_3d_quadratic()
 
     cycle_1 = make_cycle_fn(hier, cfg)
