@@ -168,49 +168,73 @@ def residual_local2d(u, f, h, n_valid, plan, depth):
     return jnp.where(mask, r, jnp.zeros_like(r))
 
 
+@functools.lru_cache(maxsize=None)
+def _restrict_band_local_np(L: int):
+    """(L/2, L+2) 3-tap local restriction band onto a 1-halo-extended
+    axis: coarse local row c <- 0.25/0.5/0.25 of ext rows 2c, 2c+1,
+    2c+2 (shard offsets stay even across coarsenings, so parents are
+    always ext-local). Shared shape with sharded_padded's i-band."""
+    lc = L // 2
+    m = np.zeros((lc, L + 2))
+    for c in range(lc):
+        m[c, 2 * c : 2 * c + 3] = (0.25, 0.5, 0.25)
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _prolong_band_local_np(L: int):
+    """(L, L/2+1) local interpolation band onto a right-halo-extended
+    coarse axis: even local rows copy coarse row g/2, odd rows average."""
+    lc = L // 2
+    m = np.zeros((L, lc + 1))
+    for g in range(L):
+        if g % 2 == 0:
+            m[g, g // 2] = 1.0
+        else:
+            m[g, g // 2] = 0.5
+            m[g, g // 2 + 1] = 0.5
+    return m
+
+
 def restrict_local2d(r, n_valid_f, plan, depth):
-    """(Li, Lj, nf) -> (Li/2, Lj/2, nc): k via matmul, i and j via
-    plane/column taps over 1-halo exchanges."""
+    """(Li, Lj, nf) -> (Li/2, Lj/2, nc): all three axes as band matmuls
+    (k full-width, i and j local bands over 1-halo exchanges). No
+    stride-2 slicing anywhere — strided lane/sublane gathers are the
+    measured-pathological pattern on TPU (ops/stencils_3d.py:209)."""
     nc = (n_valid_f + 1) // 2
     sk = jnp.asarray(ops3._restrict_matrix_np(n_valid_f), dtype=r.dtype)
     t = jnp.einsum("ck,ijk->ijc", sk, r, precision=ops3._HIGHEST)
-    # j axis
+    # j axis: local band matmul over a 1-column halo
     ej = _halo_j(t, plan.axes[1], plan.ny)
-    lj = t.shape[1]
-    t = (
-        0.25 * ej[:, 0 : lj : 2]
-        + 0.5 * ej[:, 1 : lj + 1 : 2]
-        + 0.25 * ej[:, 2 : lj + 2 : 2]
-    )
-    # i axis
+    bj = jnp.asarray(_restrict_band_local_np(t.shape[1]), dtype=r.dtype)
+    t = jnp.einsum("cj,ijk->ick", bj, ej, precision=ops3._HIGHEST)
+    # i axis: local band matmul over a 1-plane halo
     ei = _halo_i(t, plan.axes[0], plan.nx)
-    li = r.shape[0]
-    t = 0.25 * ei[0:li:2] + 0.5 * ei[1 : li + 1 : 2] + 0.25 * ei[2 : li + 2 : 2]
+    bi = jnp.asarray(_restrict_band_local_np(r.shape[0]), dtype=r.dtype)
+    t = jnp.einsum("ci,ijk->cjk", bi, ei, precision=ops3._HIGHEST)
     mask = _masks2d(plan, depth + 1, t.shape[0], t.shape[1], nc, None)
     return jnp.where(mask, t, jnp.zeros_like(t))
 
 
 def prolong_correct_local2d(ec, ef, n_valid_c, plan, depth):
-    """Coarse (Li/2, Lj/2, nc) correction added into fine (Li, Lj, nf)."""
+    """Coarse (Li/2, Lj/2, nc) correction added into fine (Li, Lj, nf):
+    k full-width matmul, i and j local interpolation-band matmuls over
+    right halos (no stack/reshape interleave, which relayouts)."""
     nf = 2 * n_valid_c - 1
     pkm = jnp.asarray(ops3._prolong_matrix_np(n_valid_c), dtype=ec.dtype)
     t = jnp.einsum("kc,ijc->ijk", pkm, ec, precision=ops3._HIGHEST)
-    # j axis: even copies, odd averages (right halo)
+    # j axis: right halo + interpolation band
     ej = jnp.concatenate(
         [t, jax.lax.ppermute(t[:, :1], plan.axes[1], _perm_bwd(plan.ny))], axis=1
     )
-    lc_j = t.shape[1]
-    even_j = ej[:, :lc_j]
-    odd_j = 0.5 * (ej[:, :lc_j] + ej[:, 1 : lc_j + 1])
-    t = jnp.stack([even_j, odd_j], axis=2).reshape(t.shape[0], 2 * lc_j, t.shape[2])
+    bj = jnp.asarray(_prolong_band_local_np(2 * t.shape[1]), dtype=ec.dtype)
+    t = jnp.einsum("fj,ijk->ifk", bj, ej, precision=ops3._HIGHEST)
     # i axis
     ei = jnp.concatenate(
         [t, jax.lax.ppermute(t[:1], plan.axes[0], _perm_bwd(plan.nx))], axis=0
     )
-    lc_i = t.shape[0]
-    even_i = ei[:lc_i]
-    odd_i = 0.5 * (ei[:lc_i] + ei[1 : lc_i + 1])
-    fine = jnp.stack([even_i, odd_i], axis=1).reshape(2 * lc_i, *t.shape[1:])
+    bi = jnp.asarray(_prolong_band_local_np(2 * t.shape[0]), dtype=ec.dtype)
+    fine = jnp.einsum("fi,ijk->fjk", bi, ei, precision=ops3._HIGHEST)
     # zero contributions beyond the valid global extent (pad regions)
     gi0, gj0 = _gij(plan, depth)
     ii = jax.lax.broadcasted_iota(jnp.int32, (fine.shape[0], 1, 1), 0) + gi0
@@ -220,7 +244,8 @@ def prolong_correct_local2d(ec, ef, n_valid_c, plan, depth):
     return ef + fine
 
 
-def _correction2d(f_local, hier, cfg, plan, coarse_solve, level, depth):
+def _correction2d(f_local, hier, cfg, plan, coarse_solve, level, depth,
+                  e_init=None):
     n_valid = hier.sizes[level]
     h = hier.spacing(level)
     ax_i, ax_j = plan.axes
@@ -229,10 +254,15 @@ def _correction2d(f_local, hier, cfg, plan, coarse_solve, level, depth):
         f_rep = jax.lax.all_gather(f_local, ax_i, axis=0, tiled=True)
         f_rep = jax.lax.all_gather(f_rep, ax_j, axis=1, tiled=True)
         f_rep = f_rep[:n_valid, :n_valid]
+        if e_init is None:
+            e0 = jnp.zeros_like(f_rep)
+        else:
+            e0 = jax.lax.all_gather(e_init, ax_i, axis=0, tiled=True)
+            e0 = jax.lax.all_gather(e0, ax_j, axis=1, tiled=True)
+            e0 = e0[:n_valid, :n_valid]
         sub = dataclasses.replace(hier, num_levels=level + 1)
         e_rep = _descend(
-            ops3, sub, cfg, coarse_solve, jnp.zeros_like(f_rep), f_rep, level,
-            correction=True,
+            ops3, sub, cfg, coarse_solve, e0, f_rep, level, correction=True,
         )
         li, lj = plan.local_i(depth), plan.local_j(depth)
         pad_i = plan.padded_i(depth) - n_valid
@@ -242,14 +272,25 @@ def _correction2d(f_local, hier, cfg, plan, coarse_solve, level, depth):
         zero = jnp.zeros((), dtype=gi0.dtype)
         return jax.lax.dynamic_slice(e_pad, (gi0, gj0, zero), (li, lj, n_valid))
 
-    u = jnp.zeros_like(f_local)
+    u = jnp.zeros_like(f_local) if e_init is None else e_init
     u = rb_smooth_local2d(u, f_local, h, cfg.n_smooth, n_valid, plan, depth, True)
     r = residual_local2d(u, f_local, h, n_valid, plan, depth)
     fc = restrict_local2d(r, n_valid, plan, depth)
-    ec = _correction2d(fc, hier, cfg, plan, coarse_solve, level - 1, depth + 1)
+    ec = _recurse2d(fc, hier, cfg, plan, coarse_solve, level - 1, depth + 1)
     u = prolong_correct_local2d(ec, u, hier.sizes[level - 1], plan, depth)
     u = rb_smooth_local2d(u, f_local, h, cfg.n_smooth, n_valid, plan, depth, False)
     return u
+
+
+def _recurse2d(fc, hier, cfg, plan, coarse_solve, level, depth):
+    """gamma visits of the coarse correction (W-cycle when gamma > 1)."""
+    ec = _correction2d(fc, hier, cfg, plan, coarse_solve, level, depth)
+    if level > 0:
+        for _ in range(cfg.gamma - 1):
+            ec = _correction2d(
+                fc, hier, cfg, plan, coarse_solve, level, depth, e_init=ec
+            )
+    return ec
 
 
 def make_sharded2d_cycle(
@@ -275,11 +316,13 @@ def make_sharded2d_cycle(
         u = rb_smooth_local2d(u, f, h, cfg.n_smooth, n_valid, plan, 0, True)
         r = residual_local2d(u, f, h, n_valid, plan, 0)
         fc = restrict_local2d(r, n_valid, plan, 0)
-        ec = _correction2d(fc, hier, cfg, plan, coarse_solve, level - 1, 1)
+        ec = _recurse2d(fc, hier, cfg, plan, coarse_solve, level - 1, 1)
         u = prolong_correct_local2d(ec, u, hier.sizes[level - 1], plan, 0)
         u = rb_smooth_local2d(u, f, h, cfg.n_smooth, n_valid, plan, 0, False)
         r = residual_local2d(u, f, h, n_valid, plan, 0)
-        norm_sq = jax.lax.psum(jax.lax.psum(jnp.sum(r * r), ax_i), ax_j)
+        # single fused reduction over both mesh axes (not two sequential
+        # psums — one collective rides the ICI once)
+        norm_sq = jax.lax.psum(jnp.sum(r * r), (ax_i, ax_j))
         return u, jnp.sqrt(norm_sq)
 
     mapped = jax.shard_map(
@@ -292,26 +335,11 @@ def make_sharded2d_cycle(
     return jax.jit(mapped), plan
 
 
-def make_sharded2d_df_cycle(
-    hier: Hierarchy,
-    cfg: CycleConfig,
-    mesh: Mesh,
-    plan: Optional[ShardPlan2D] = None,
-) -> Tuple[Callable, ShardPlan2D]:
-    """All-f32 double-float cycle on the 2D mesh: the solution is a
-    (hi, lo) f32 pair, the outer residual is the compensated EFT form
-    (pk._eft_residual — shared with the single-chip and 1D-sharded
-    paths), and the inner correction V-cycle runs in plain f32.
-
-    cycle(u_hi, u_lo, f_hi, f_lo) -> (u_hi', u_lo', norm).
-    """
+def _build_df_locals(hier, cfg, plan):
+    """Shared pieces of the 2D double-float drivers: returns
+    (residual_df_local, inner_vcycle) operating on local blocks."""
     from multigrid_parallel_tpu.ops import pallas3d as pk
 
-    ax_i, ax_j = mesh.axis_names
-    if plan is None:
-        plan = plan_sharding_2d(
-            hier, mesh.devices.shape[0], mesh.devices.shape[1], (ax_i, ax_j)
-        )
     f32 = jnp.float32
     hier32 = dataclasses.replace(hier, dtype=f32)
     coarse32 = coarse_ops.make_coarse_solver(
@@ -338,23 +366,54 @@ def make_sharded2d_df_cycle(
         mask = _masks2d(plan, 0, u_hi.shape[0], u_hi.shape[1], n_valid, None)
         return jnp.where(mask, r, jnp.zeros_like(r))
 
-    def local_fn(u_hi, u_lo, f_hi, f_lo):
-        r = residual_df_local(u_hi, u_lo, f_hi, f_lo)
-        nrm_sq = jax.lax.psum(jax.lax.psum(jnp.sum(r * r), ax_i), ax_j)
-        nrm = jnp.sqrt(nrm_sq)
-        safe = jnp.maximum(nrm, jnp.asarray(1e-30, dtype=nrm.dtype))
-        r32 = r / safe
-        e = rb_smooth_local2d(
-            jnp.zeros_like(r32), r32, h, cfg.n_smooth, n_valid, plan, 0, True
-        )
+    def inner_vcycle(e, r32):
+        e = rb_smooth_local2d(e, r32, h, cfg.n_smooth, n_valid, plan, 0, True)
         rr = residual_local2d(e, r32, h, n_valid, plan, 0)
         fc = restrict_local2d(rr, n_valid, plan, 0)
-        ec = _correction2d(fc, hier32, cfg, plan, coarse32, level - 1, 1)
+        ec = _recurse2d(fc, hier32, cfg, plan, coarse32, level - 1, 1)
         e = prolong_correct_local2d(ec, e, hier.sizes[level - 1], plan, 0)
-        e = rb_smooth_local2d(e, r32, h, cfg.n_smooth, n_valid, plan, 0, False)
+        return rb_smooth_local2d(e, r32, h, cfg.n_smooth, n_valid, plan, 0,
+                                 False)
+
+    return residual_df_local, inner_vcycle
+
+
+def make_sharded2d_df_cycle(
+    hier: Hierarchy,
+    cfg: CycleConfig,
+    mesh: Mesh,
+    plan: Optional[ShardPlan2D] = None,
+    inner_cycles: int = 1,
+) -> Tuple[Callable, ShardPlan2D]:
+    """All-f32 double-float cycle on the 2D mesh: the solution is a
+    (hi, lo) f32 pair, the outer residual is the compensated EFT form
+    (pk._eft_residual — shared with the single-chip and 1D-sharded
+    paths), and the inner correction V-cycle runs in plain f32.
+    ``inner_cycles`` f32 V-cycles run on the same normalized defect
+    before the double-float update (the 1D path's amortization knob).
+
+    cycle(u_hi, u_lo, f_hi, f_lo) -> (u_hi', u_lo', norm).
+    """
+    from multigrid_parallel_tpu.ops import pallas3d as pk
+
+    ax_i, ax_j = mesh.axis_names
+    if plan is None:
+        plan = plan_sharding_2d(
+            hier, mesh.devices.shape[0], mesh.devices.shape[1], (ax_i, ax_j)
+        )
+    residual_df_local, inner_vcycle = _build_df_locals(hier, cfg, plan)
+
+    def local_fn(u_hi, u_lo, f_hi, f_lo):
+        r = residual_df_local(u_hi, u_lo, f_hi, f_lo)
+        nrm = jnp.sqrt(jax.lax.psum(jnp.sum(r * r), (ax_i, ax_j)))
+        safe = jnp.maximum(nrm, jnp.asarray(1e-30, dtype=nrm.dtype))
+        r32 = r / safe
+        e = jnp.zeros_like(r32)
+        for _ in range(inner_cycles):  # static unroll
+            e = inner_vcycle(e, r32)
         u_hi, u_lo = pk.df_add(u_hi, u_lo, safe * e)
         r_after = residual_df_local(u_hi, u_lo, f_hi, f_lo)
-        norm_sq = jax.lax.psum(jax.lax.psum(jnp.sum(r_after * r_after), ax_i), ax_j)
+        norm_sq = jax.lax.psum(jnp.sum(r_after * r_after), (ax_i, ax_j))
         return u_hi, u_lo, jnp.sqrt(norm_sq)
 
     spec = P(*plan.axes)
@@ -363,6 +422,72 @@ def make_sharded2d_df_cycle(
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=(spec, spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped), plan
+
+
+def make_sharded2d_df_solver(
+    hier: Hierarchy,
+    cfg: CycleConfig = CycleConfig(),
+    mesh: Optional[Mesh] = None,
+    plan: Optional[ShardPlan2D] = None,
+    rel_tol: float = 1e-8,
+    max_cycles: int = 40,
+    inner_cycles: int = 4,
+) -> Tuple[Callable, ShardPlan2D]:
+    """run(u_hi, u_lo, f_hi, f_lo) -> (u_hi, u_lo, norm, n_outer): the
+    whole solve-to-tolerance as ONE jitted lax.while_loop under
+    shard_map on the (i, j) 2D mesh — the 2D twin of
+    parallel.sharded_padded.make_sharded_df_solver (driver shape:
+    test_mg_3d.c:37-67). Double-float solution, EFT outer residual with
+    a single fused two-axis psum, ``inner_cycles`` f32 V-cycles per
+    outer defect step."""
+    from multigrid_parallel_tpu.ops import pallas3d as pk
+
+    ax_i, ax_j = mesh.axis_names
+    if plan is None:
+        plan = plan_sharding_2d(
+            hier, mesh.devices.shape[0], mesh.devices.shape[1], (ax_i, ax_j)
+        )
+    residual_df_local, inner_vcycle = _build_df_locals(hier, cfg, plan)
+    f32 = jnp.float32
+
+    def local_fn(u_hi, u_lo, f_hi, f_lo):
+        init = jnp.sqrt(jax.lax.psum(jnp.sum(f_hi * f_hi), (ax_i, ax_j)))
+        tol = jnp.asarray(rel_tol, f32) * init
+
+        def residual_norm(u_hi, u_lo, f_hi, f_lo):
+            r = residual_df_local(u_hi, u_lo, f_hi, f_lo)
+            return r, jnp.sqrt(jax.lax.psum(jnp.sum(r * r), (ax_i, ax_j)))
+
+        def body(state):
+            u_hi, u_lo, r, nrm, it, f_hi, f_lo = state
+            # no normalize/scale-back: the V-cycle is linear in r and f32
+            # relative precision is scale-invariant (see cycles_padded)
+            e = jnp.zeros_like(r)
+            for _ in range(inner_cycles):  # static unroll
+                e = inner_vcycle(e, r)
+            u_hi, u_lo = pk.df_add(u_hi, u_lo, e)
+            r, nrm = residual_norm(u_hi, u_lo, f_hi, f_lo)
+            return u_hi, u_lo, r, nrm, it + 1, f_hi, f_lo
+
+        def cond(state):
+            nrm, it = state[3], state[4]
+            return jnp.logical_and(nrm > tol, it < max_cycles)
+
+        r0, n0 = residual_norm(u_hi, u_lo, f_hi, f_lo)
+        out = jax.lax.while_loop(
+            cond, body, (u_hi, u_lo, r0, n0, jnp.asarray(0), f_hi, f_lo)
+        )
+        return out[0], out[1], out[3], out[4]
+
+    spec = P(*plan.axes)
+    mapped = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec,) * 4,
+        out_specs=(spec, spec, P(), P()),
         check_vma=False,
     )
     return jax.jit(mapped), plan

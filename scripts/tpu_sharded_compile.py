@@ -1,0 +1,250 @@
+"""Compile + validate the distributed fast path under REAL Mosaic.
+
+Round-2 verdict: every kernel in ops/pallas_sharded.py had only ever run
+in interpreter mode on the CPU test mesh. This script closes that gap on
+the real chip, in two stages:
+
+  A. Direct-call each ext kernel (no shard_map) on-device at 65^3-ish
+     local sizes, against the single-chip fused kernels / jnp ops as the
+     oracle — a cheap per-kernel Mosaic lowering check.
+  B. Run the whole distributed solver (make_sharded_df_solver) on a
+     1-device TPU mesh at 257^3, timed against the single-chip solver —
+     the sharded path's overhead at n_dev=1 IS the distributed tax.
+
+Usage (real TPU):  python scripts/tpu_sharded_compile.py [--skip-a]
+Writes results to stdout; docs/SCALING.md records the artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from multigrid_parallel_tpu import CycleConfig, Hierarchy, poisson_3d_quadratic
+from multigrid_parallel_tpu.ops import pallas3d as pk
+from multigrid_parallel_tpu.ops import pallas_sharded as px
+from multigrid_parallel_tpu.parallel import sharded_padded as sp
+from multigrid_parallel_tpu.parallel.sharded import ShardPlan
+
+
+def sync(x):
+    # axon's block_until_ready does not block; a scalar readback does.
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def _zb(x):
+    y = np.zeros_like(x)
+    y[1:-1, 1:-1, 1:-1] = x[1:-1, 1:-1, 1:-1]
+    return y
+
+
+def stage_a(n=65, block_i=8):
+    """Direct-call every ext kernel; compare against single-chip path."""
+    print(f"== stage A: per-kernel Mosaic compile at n={n} ==", flush=True)
+    _, sj, sk = pk.padded_shape(n)
+    L = -(-n // 8) * 8  # one device owns the whole (i-padded) grid
+    h = 1.0 / (n - 1)
+    n_iter = 2
+    H = 2 * n_iter
+    rng = np.random.default_rng(0)
+    e = jnp.asarray(_zb(rng.standard_normal((n, n, n))).astype(np.float32))
+    r = jnp.asarray(_zb(rng.standard_normal((n, n, n))).astype(np.float32))
+    ep = jnp.pad(pk.pad3(e), ((0, L - n), (0, 0), (0, 0)))
+    rp = jnp.pad(pk.pad3(r), ((0, L - n), (0, 0), (0, 0)))
+
+    def ext(x, halo):
+        return jnp.pad(x, ((halo, halo), (0, 0), (0, 0)))
+
+    def gi0(halo):
+        return jnp.asarray([-halo], jnp.int32)
+
+    results = {}
+
+    def check(name, got, want, atol=3e-6):
+        got = np.asarray(got)[:n, :n, :n]
+        want = np.asarray(want)[:n, :n, :n]
+        scale = max(np.abs(want).max(), 1e-30)
+        err = np.abs(got - want).max() / scale
+        ok = err <= atol
+        results[name] = (ok, err)
+        print(f"  {name:28s} {'OK' if ok else 'FAIL'}  rel-err {err:.2e}",
+              flush=True)
+
+    # 1. rb_smooth_ext vs single-chip fused stage
+    t0 = time.perf_counter()
+    got = px.rb_smooth_ext(ext(ep, H), ext(rp, H), gi0(H), h, n_iter, n, L,
+                           red_first=True, block_i=block_i)
+    sync(got)
+    print(f"  [compile+run {time.perf_counter()-t0:.1f}s]", flush=True)
+    want = pk.rb_smooth_fused_pipelined(ep[:n], rp[:n], h, n_iter, n,
+                                        red_first=True, block_i=8)
+    check("rb_smooth_ext", got, want)
+
+    # 2. rb_smooth_from_zero_ext
+    t0 = time.perf_counter()
+    got = px.rb_smooth_from_zero_ext(ext(rp, H), gi0(H), h, n_iter, n, L,
+                                     red_first=True, block_i=block_i)
+    sync(got)
+    print(f"  [compile+run {time.perf_counter()-t0:.1f}s]", flush=True)
+    want = pk.rb_smooth_from_zero_fused(rp[:n], h, n_iter, n, red_first=True,
+                                        block_i=8)
+    check("rb_smooth_from_zero_ext", got, want)
+
+    # 3. residual_ext
+    t0 = time.perf_counter()
+    got = px.residual_ext(ext(ep, 1), ext(rp, 1), gi0(1), h, n, L,
+                          block_i=block_i)
+    sync(got)
+    print(f"  [compile+run {time.perf_counter()-t0:.1f}s]", flush=True)
+    want = pk.residual_fused_pipelined(ep[:n], rp[:n], h, n)
+    check("residual_ext", got, want)
+
+    # 4. residual_restrict_ext
+    nc = (n + 1) // 2
+    Lc = L // 2
+    bi_r = px.restrict_ext_block_i(Lc, sj, sk, requested=block_i)
+    t0 = time.perf_counter()
+    got_c = px.residual_restrict_ext(ext(ep, 2), ext(rp, 2), gi0(2), h, n, Lc,
+                                     block_i=bi_r)
+    sync(got_c)
+    print(f"  [compile+run {time.perf_counter()-t0:.1f}s]", flush=True)
+    bi1 = pk.rr_fused_block_i(n, sj, sk, 4)
+    want_c = pk.residual_restrict_fused_padded(ep[:n], rp[:n], h, n, block_i=bi1)
+    got_cn = np.asarray(got_c)[:nc, :nc, :nc]
+    want_cn = np.asarray(want_c)[:nc, :nc, :nc]
+    scale = max(np.abs(want_cn).max(), 1e-30)
+    err = np.abs(got_cn - want_cn).max() / scale
+    results["residual_restrict_ext"] = (err <= 3e-6, err)
+    print(f"  {'residual_restrict_ext':28s} {'OK' if err <= 3e-6 else 'FAIL'}"
+          f"  rel-err {err:.2e}", flush=True)
+
+    # 5. prolong_smooth_ext
+    ec = jnp.asarray(_zb(rng.standard_normal((nc, nc, nc))).astype(np.float32))
+    ecp = jnp.pad(pk.pad3(ec), ((0, Lc - nc), (0, 0), (0, 0)))
+    hc = H // 2 + 1
+    t0 = time.perf_counter()
+    got = px.prolong_smooth_ext(ext(ecp, hc), ext(ep, H), ext(rp, H), gi0(H),
+                                h, n_iter, n, L, block_i=block_i)
+    sync(got)
+    print(f"  [compile+run {time.perf_counter()-t0:.1f}s]", flush=True)
+    bi_p = pk.ps_fused_block_i(n, sj, sk, n_iter, 4)
+    want = pk.prolong_smooth_fused_padded(ecp[:nc], ep[:n], rp[:n], h,
+                                          n_iter, n, block_i=bi_p)
+    check("prolong_smooth_ext", got, want)
+
+    # 6. residual_df_norm_ext (SMEM norm output — the prime suspect)
+    u64 = jnp.asarray(_zb(rng.standard_normal((n, n, n))))
+    f64 = jnp.asarray(_zb(rng.standard_normal((n, n, n))))
+    u_hi, u_lo = pk.df_split(u64, pad=True)
+    f_hi, f_lo = pk.df_split(f64, pad=True)
+    pad_i = ((0, L - n), (0, 0), (0, 0))
+    u_hi, u_lo = jnp.pad(u_hi, pad_i), jnp.pad(u_lo, pad_i)
+    f_hi, f_lo = jnp.pad(f_hi, pad_i), jnp.pad(f_lo, pad_i)
+    t0 = time.perf_counter()
+    got_r, got_n2 = px.residual_df_norm_ext(
+        ext(u_hi, 1), ext(u_lo, 1), ext(f_hi, 1), ext(f_lo, 1), gi0(1),
+        h, n, L, block_i=block_i,
+    )
+    sync(got_r)
+    print(f"  [compile+run {time.perf_counter()-t0:.1f}s]", flush=True)
+    want_r, want_n2 = pk.residual_df_norm_fused_padded(
+        u_hi[:n], u_lo[:n], f_hi[:n], f_lo[:n], h, n
+    )
+    check("residual_df_norm_ext", got_r, want_r)
+    n2_err = abs(float(got_n2) - float(want_n2)) / max(abs(float(want_n2)), 1e-30)
+    ok = n2_err <= 1e-5
+    results["residual_df_norm_ext.n2"] = (ok, n2_err)
+    print(f"  {'residual_df_norm_ext.n2':28s} {'OK' if ok else 'FAIL'}"
+          f"  rel-err {n2_err:.2e}", flush=True)
+
+    bad = [k for k, (ok, _) in results.items() if not ok]
+    print(f"stage A: {len(results) - len(bad)}/{len(results)} OK"
+          + (f"  FAILED: {bad}" if bad else ""), flush=True)
+    return not bad
+
+
+def stage_b(levels=7, repeats=5, inner_cycles=4, n_sharded=3, block_i=8):
+    """Whole distributed solver, 1-device TPU mesh, 257^3."""
+    from jax.sharding import Mesh
+
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=levels)
+    n = hier.finest_n
+    print(f"== stage B: make_sharded_df_solver, 1-dev mesh, {n}^3 ==",
+          flush=True)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("x",))
+    fine_local = -(-n // (1 << n_sharded)) * (1 << n_sharded)
+    plan = ShardPlan(n_dev=1, axis="x", n_sharded=n_sharded,
+                     fine_local=fine_local)
+    cfg = CycleConfig(n_smooth=2)
+    t0 = time.perf_counter()
+    run, plan = sp.make_sharded_df_solver(
+        hier, cfg, mesh, plan, rel_tol=1e-8, inner_cycles=inner_cycles,
+        block_i=block_i,
+    )
+    st = sp.setup_df_problem_sharded_padded(poisson_3d_quadratic(), hier,
+                                            mesh, plan)
+    u_hi, u_lo, norm, n_outer = run(*st)
+    norm, n_outer = float(norm), int(n_outer)
+    print(f"  compile+first solve {time.perf_counter()-t0:.1f}s  "
+          f"norm {norm:.3e}  n_outer {n_outer}", flush=True)
+    init = float(jnp.sqrt(jnp.sum(st[2].astype(jnp.float64) ** 2)))
+    assert norm <= 1e-8 * init, (norm, init)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _, _, nd, od = run(*st)
+        float(nd), int(od)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    med = sorted(times)[len(times) // 2]
+    print(f"  sharded(1dev) wall: best {best:.4f}s  median {med:.4f}s  "
+          f"(times {['%.3f' % t for t in times]})", flush=True)
+
+    # single-chip reference solve, same session (same contention)
+    from multigrid_parallel_tpu.cycles_padded import (
+        make_on_device_df_solver, setup_df_problem,
+    )
+
+    run1 = make_on_device_df_solver(hier, cfg, rel_tol=1e-8,
+                                    inner_cycles=inner_cycles)
+    st1 = setup_df_problem(poisson_3d_quadratic(), hier)
+    _, _, n1, o1 = run1(*st1)
+    float(n1), int(o1)
+    times1 = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _, _, nd, od = run1(*st1)
+        float(nd), int(od)
+        times1.append(time.perf_counter() - t0)
+    best1 = min(times1)
+    print(f"  single-chip   wall: best {best1:.4f}s  median "
+          f"{sorted(times1)[len(times1)//2]:.4f}s", flush=True)
+    print(f"  distributed tax at n_dev=1: {best/best1:.3f}x "
+          f"(+{(best-best1)*1e3:.1f} ms)", flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-a", action="store_true")
+    ap.add_argument("--skip-b", action="store_true")
+    ap.add_argument("--n-sharded", type=int, default=3)
+    args = ap.parse_args()
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}",
+          flush=True)
+    ok = True
+    if not args.skip_a:
+        ok = stage_a()
+    if not args.skip_b:
+        stage_b(n_sharded=args.n_sharded)
+    sys.exit(0 if ok else 1)

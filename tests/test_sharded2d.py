@@ -97,6 +97,78 @@ def test_sharded2d_df_matches_1d_sharded_norms(mesh):
         assert float(n2) == pytest.approx(float(n1), rel=1e-5), it
 
 
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_sharded2d_df_solver_converges_to_oracle(shape):
+    """Whole-solve while_loop 2D driver on both mesh orientations."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = s2.make_mesh_2d(*shape)
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)  # 33^3
+    cfg = CycleConfig(n_smooth=2)
+    prob = poisson_3d_quadratic()
+    run, plan = s2.make_sharded2d_df_solver(
+        hier, cfg, mesh, rel_tol=1e-8, inner_cycles=2
+    )
+    st = s2.setup_df_problem_sharded2d(prob, hier, mesh, plan)
+    u_hi, u_lo, norm, n_outer = run(*st)
+    init = float(jnp.sqrt(jnp.sum(st[2].astype(jnp.float64) ** 2)))
+    assert float(norm) <= 1e-8 * init
+    assert int(n_outer) <= 10, int(n_outer)
+    from multigrid_parallel_tpu.hierarchy import evaluate_on_grid
+    from multigrid_parallel_tpu.ops import pallas3d as pk
+
+    u = pk.df_to_f64(s2.unpad2d(u_hi, hier), s2.unpad2d(u_lo, hier))
+    exact = evaluate_on_grid(prob.analytic, hier, hier.num_levels - 1)
+    err = float(jnp.sqrt(jnp.sum((u - exact) ** 2)))
+    assert err < 5e-8, err
+
+
+def test_sharded2d_df_solver_matches_1d_residual(mesh):
+    """The 2D whole-solve driver lands on the same final residual and
+    outer-step count as the 1D padded driver (same math, different
+    decomposition)."""
+    from multigrid_parallel_tpu.parallel import sharded_padded as sp
+    from multigrid_parallel_tpu.parallel.sharded import make_mesh
+
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)
+    cfg = CycleConfig(n_smooth=2)
+    prob = poisson_3d_quadratic()
+
+    run2, plan2 = s2.make_sharded2d_df_solver(
+        hier, cfg, mesh, rel_tol=1e-8, inner_cycles=2
+    )
+    st2 = s2.setup_df_problem_sharded2d(prob, hier, mesh, plan2)
+    _, _, norm2, n2 = run2(*st2)
+
+    mesh1 = make_mesh(8)
+    run1, plan1 = sp.make_sharded_df_solver(
+        hier, cfg, mesh1, rel_tol=1e-8, inner_cycles=2, jnp_level_max=10**9
+    )
+    st1 = sp.setup_df_problem_sharded_padded(prob, hier, mesh1, plan1)
+    _, _, norm1, n1 = run1(*st1)
+
+    assert int(n2) == int(n1)
+    assert float(norm2) == pytest.approx(float(norm1), rel=1e-3)
+
+
+def test_sharded2d_gamma_wcycle_matches_single_device(mesh):
+    """W-cycle (gamma=2) through the 2D recursion equals the
+    single-device W-cycle."""
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=3)  # 17^3
+    cfg = CycleConfig(n_smooth=2, gamma=2)
+    prob = poisson_3d_quadratic()
+
+    cycle_1 = make_cycle_fn(hier, cfg)
+    u1, f1 = setup_problem(prob, hier)
+    cycle_2, plan = s2.make_sharded2d_cycle(hier, cfg, mesh)
+    u2, f2 = s2.setup_problem_sharded2d(prob, hier, mesh, plan)
+
+    for it in range(3):
+        u1, n1 = cycle_1(u1, f1)
+        u2, n2 = cycle_2(u2, f2)
+        assert float(n2) == pytest.approx(float(n1), rel=1e-10), it
+
+
 def test_sharded2d_converges_to_oracle(mesh):
     hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)
     cfg = CycleConfig(n_smooth=2)
