@@ -234,10 +234,149 @@ def stage_b(levels=7, repeats=5, inner_cycles=4, n_sharded=3, block_i=8):
           f"(+{(best-best1)*1e3:.1f} ms)", flush=True)
 
 
+def stage_c(n=65, block_i=8):
+    """Direct-call every 2D ext kernel (ops.pallas_sharded2d) under real
+    Mosaic, against the 1D ext kernels on the same data (gj0 = -HJ, one
+    j shard owning the whole width — the 2D kernels must reproduce the
+    1D results exactly)."""
+    from multigrid_parallel_tpu.ops import pallas_sharded2d as px2
+
+    print(f"== stage C: 2D ext kernels, Mosaic compile at n={n} ==",
+          flush=True)
+    _, sj, sk = pk.padded_shape(n)
+    sjl = -(-sj // 8) * 8  # owned j extent = full padded width
+    L = -(-n // 8) * 8
+    h = 1.0 / (n - 1)
+    n_iter = 2
+    H = 2 * n_iter
+    HJ = px2.HJ
+    rng = np.random.default_rng(3)
+    e = jnp.asarray(_zb(rng.standard_normal((n, n, n))).astype(np.float32))
+    r = jnp.asarray(_zb(rng.standard_normal((n, n, n))).astype(np.float32))
+
+    def blockify(x, lloc=L, width=sjl):
+        xp = pk.pad3(x)
+        if width >= xp.shape[1]:
+            xp = jnp.pad(xp, ((0, 0), (0, width - xp.shape[1]), (0, 0)))
+        else:
+            # owned width below the padded width: the dropped columns are
+            # zero pad (width >= n always)
+            xp = xp[:, :width]
+        return jnp.pad(xp, ((0, lloc - x.shape[0]), (0, 0), (0, 0)))
+
+    def ext(x, hi):
+        return jnp.pad(x, ((hi, hi), (HJ, HJ), (0, 0)))
+
+    def gij0(hi):
+        return jnp.asarray([-hi, -HJ], jnp.int32)
+
+    ep, rp = blockify(e), blockify(r)
+    results = {}
+
+    def check(name, got, want, atol=3e-6):
+        got = np.asarray(got)[:n, :n, :n]
+        want = np.asarray(want)[:n, :n, :n]
+        scale = max(np.abs(want).max(), 1e-30)
+        err = np.abs(got - want).max() / scale
+        ok = err <= atol
+        results[name] = (ok, err)
+        print(f"  {name:28s} {'OK' if ok else 'FAIL'}  rel-err {err:.2e}",
+              flush=True)
+
+    t0 = time.perf_counter()
+    got = px2.rb_smooth_ext2d(ext(ep, H), ext(rp, H), gij0(H), h, n_iter, n,
+                              L, sjl, red_first=True, block_i=block_i)
+    sync(got)
+    print(f"  [compile+run {time.perf_counter()-t0:.1f}s]", flush=True)
+    want = pk.rb_smooth_fused_pipelined(ep[:n, :sj], rp[:n, :sj], h, n_iter,
+                                        n, red_first=True, block_i=8)
+    check("rb_smooth_ext2d", got, want)
+
+    t0 = time.perf_counter()
+    got = px2.rb_smooth_from_zero_ext2d(ext(rp, H), gij0(H), h, n_iter, n,
+                                        L, sjl, red_first=True,
+                                        block_i=block_i)
+    sync(got)
+    print(f"  [compile+run {time.perf_counter()-t0:.1f}s]", flush=True)
+    want = pk.rb_smooth_from_zero_fused(rp[:n, :sj], h, n_iter, n,
+                                        red_first=True, block_i=8)
+    check("rb_smooth_from_zero_ext2d", got, want)
+
+    nc = (n + 1) // 2
+    Lc = L // 2
+    skc = pk.padded_shape(nc)[2]
+    bi_r = px2.restrict2d_block_i(Lc, sjl + 2 * HJ, sk, requested=block_i)
+    t0 = time.perf_counter()
+    got_c = px2.residual_restrict_ext2d(ext(ep, 2), ext(rp, 2), gij0(2), h,
+                                        n, Lc, sjl // 2, skc, block_i=bi_r)
+    sync(got_c)
+    print(f"  [compile+run {time.perf_counter()-t0:.1f}s]", flush=True)
+    bi1 = pk.rr_fused_block_i(n, sj, sk, 4)
+    want_c = pk.residual_restrict_fused_padded(ep[:n, :sj], rp[:n, :sj], h,
+                                               n, block_i=bi1)
+    got_cn = np.asarray(got_c)[:nc, :nc, :nc]
+    want_cn = np.asarray(want_c)[:nc, :nc, :nc]
+    scale = max(np.abs(want_cn).max(), 1e-30)
+    err = np.abs(got_cn - want_cn).max() / scale
+    results["residual_restrict_ext2d"] = (err <= 3e-6, err)
+    print(f"  {'residual_restrict_ext2d':28s} "
+          f"{'OK' if err <= 3e-6 else 'FAIL'}  rel-err {err:.2e}", flush=True)
+
+    ec = jnp.asarray(_zb(rng.standard_normal((nc, nc, nc))).astype(np.float32))
+    ecb = blockify(ec, Lc, sjl // 2)
+    hc = H // 2 + 1
+    t0 = time.perf_counter()
+    got = px2.prolong_smooth_ext2d(
+        ext(ecb, hc), ext(ep, H), ext(rp, H), gij0(H), h, n_iter, n, L, sjl,
+        block_i=block_i,
+    )
+    sync(got)
+    print(f"  [compile+run {time.perf_counter()-t0:.1f}s]", flush=True)
+    bi_p = pk.ps_fused_block_i(n, sj, sk, n_iter, 4)
+    want = pk.prolong_smooth_fused_padded(
+        pk.pad3(ec), ep[:n, :sj], rp[:n, :sj], h, n_iter, n, block_i=bi_p,
+    )
+    check("prolong_smooth_ext2d", got, want)
+
+    u64 = jnp.asarray(_zb(rng.standard_normal((n, n, n))))
+    f64 = jnp.asarray(_zb(rng.standard_normal((n, n, n))))
+
+    def prep(x64):
+        hi, lo = pk.df_split(x64, pad=True)
+        w = ((0, L - n), (0, sjl - hi.shape[1]), (0, 0))
+        return jnp.pad(hi, w), jnp.pad(lo, w)
+
+    u_hi, u_lo = prep(u64)
+    f_hi, f_lo = prep(f64)
+    t0 = time.perf_counter()
+    got_r, got_n2 = px2.residual_df_norm_ext2d(
+        ext(u_hi, 1), ext(u_lo, 1), ext(f_hi, 1), ext(f_lo, 1), gij0(1),
+        h, n, L, sjl, block_i=block_i,
+    )
+    sync(got_r)
+    print(f"  [compile+run {time.perf_counter()-t0:.1f}s]", flush=True)
+    want_r, want_n2 = pk.residual_df_norm_fused_padded(
+        u_hi[:n, :sj], u_lo[:n, :sj], f_hi[:n, :sj], f_lo[:n, :sj], h, n
+    )
+    check("residual_df_norm_ext2d", got_r, want_r)
+    n2_err = abs(float(got_n2) - float(want_n2)) / max(abs(float(want_n2)),
+                                                       1e-30)
+    ok = n2_err <= 1e-5
+    results["residual_df_norm_ext2d.n2"] = (ok, n2_err)
+    print(f"  {'residual_df_norm_ext2d.n2':28s} {'OK' if ok else 'FAIL'}"
+          f"  rel-err {n2_err:.2e}", flush=True)
+
+    bad = [k for k, (ok, _) in results.items() if not ok]
+    print(f"stage C: {len(results) - len(bad)}/{len(results)} OK"
+          + (f"  FAILED: {bad}" if bad else ""), flush=True)
+    return not bad
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-a", action="store_true")
     ap.add_argument("--skip-b", action="store_true")
+    ap.add_argument("--skip-c", action="store_true")
     ap.add_argument("--n-sharded", type=int, default=3)
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}",
@@ -245,6 +384,8 @@ if __name__ == "__main__":
     ok = True
     if not args.skip_a:
         ok = stage_a()
+    if not args.skip_c:
+        ok = stage_c() and ok
     if not args.skip_b:
         stage_b(n_sharded=args.n_sharded)
     sys.exit(0 if ok else 1)
