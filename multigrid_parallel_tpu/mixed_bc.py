@@ -92,6 +92,19 @@ class MixedBCSolver:
     problem: ElectrosprayProblem
     hier: Hierarchy
     n_smooth: int = 2
+    gamma: int = 1  # W-cycle when 2 (coarse corrections revisited)
+    # Extra RB relaxation restricted to the planes within
+    # ``boundary_band_width`` of any face, applied after each smoothing
+    # stage. The copy-BC (first-order Neumann) discretization leaves a
+    # boundary error layer the coarse grids cannot represent, which
+    # caps the V-cycle at ~0.59/cycle; band sweeps kill the layer for
+    # O(n^2) extra work (4.6% of a sweep at 257^3). Measured at 33^3:
+    # V 29 cycles -> band(2,2) 17 -> band(2,4) 13; W-cycle + band(2,2)
+    # 11 cycles at 0.22/cycle (docs/MIXED_BC.md). The band shares the
+    # smoother's fixed point, so the converged solution is unchanged
+    # (0 = off = the reference-shaped cycle).
+    boundary_band_width: int = 0
+    boundary_band_iters: int = 0
 
     def __post_init__(self):
         self._masks: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
@@ -128,6 +141,15 @@ class MixedBCSolver:
         pin = jnp.zeros_like(u) if zero_dirichlet else vals
         return jnp.where(mask, pin, u)
 
+    @staticmethod
+    def _band_mask_np(n: int, w: int):
+        idx = np.arange(n)
+        return (
+            (idx[:, None, None] <= w) | (idx[:, None, None] >= n - 1 - w)
+            | (idx[None, :, None] <= w) | (idx[None, :, None] >= n - 1 - w)
+            | (idx[None, None, :] <= w) | (idx[None, None, :] >= n - 1 - w)
+        )
+
     def _smooth(self, u, f, lvl: int, n_iter: int, red_first, zero_dirichlet):
         h = self.hier.spacing(lvl)
         colors = (ops3.RED, ops3.BLACK) if red_first else (ops3.BLACK, ops3.RED)
@@ -137,6 +159,17 @@ class MixedBCSolver:
             for c in colors:
                 u = ops3._half_sweep(u, f, h, cmask[c])
                 u = self._apply_bcs(u, lvl, zero_dirichlet)
+        if self.boundary_band_iters > 0:
+            n = u.shape[0]
+            near = self._band_mask_np(n, self.boundary_band_width)
+            bmask = {
+                ops3.RED: jnp.asarray(red & near),
+                ops3.BLACK: jnp.asarray(black & near),
+            }
+            for _ in range(self.boundary_band_iters):
+                for c in colors:
+                    u = ops3._half_sweep(u, f, h, bmask[c])
+                    u = self._apply_bcs(u, lvl, zero_dirichlet)
         return u
 
     # -- cycle ----------------------------------------------------------
@@ -153,6 +186,9 @@ class MixedBCSolver:
         fc = ops3.restrict_full_weighting(r)
         ec0 = jnp.zeros((self.hier.sizes[lvl - 1],) * 3, dtype=u.dtype)
         ec = self._descend(ec0, fc, lvl - 1, zero_dirichlet=True)
+        if lvl - 1 > 0:
+            for _ in range(self.gamma - 1):  # W-cycle revisits
+                ec = self._descend(ec, fc, lvl - 1, zero_dirichlet=True)
         u = ops3.prolong_correct(ec, u)
         u = self._apply_bcs(u, lvl, zero_dirichlet)
         u = self._smooth(u, f, lvl, self.n_smooth, False, zero_dirichlet)
@@ -232,13 +268,21 @@ class MixedBCSolver:
 
         def smooth32(e, fdef, lvl, red_first):
             h = self.hier.spacing(lvl)
-            red, black, _ = ops3._masks_np(e.shape[0])
+            n = e.shape[0]
+            red, black, _ = ops3._masks_np(n)
             first, second = (red, black) if red_first else (black, red)
             for _ in range(self.n_smooth):
                 e = ops3._half_sweep(e, fdef, h, jnp.asarray(first))
                 e = apply_bcs32(e, lvl)
                 e = ops3._half_sweep(e, fdef, h, jnp.asarray(second))
                 e = apply_bcs32(e, lvl)
+            if self.boundary_band_iters > 0:
+                near = self._band_mask_np(n, self.boundary_band_width)
+                for _ in range(self.boundary_band_iters):
+                    e = ops3._half_sweep(e, fdef, h, jnp.asarray(first & near))
+                    e = apply_bcs32(e, lvl)
+                    e = ops3._half_sweep(e, fdef, h, jnp.asarray(second & near))
+                    e = apply_bcs32(e, lvl)
             return e
 
         def descend32(e, fdef, lvl):
@@ -250,6 +294,9 @@ class MixedBCSolver:
             fc = ops3.restrict_full_weighting(r)
             ec0 = jnp.zeros((self.hier.sizes[lvl - 1],) * 3, dtype=e.dtype)
             ec = descend32(ec0, fc, lvl - 1)
+            if lvl - 1 > 0:
+                for _ in range(self.gamma - 1):  # W-cycle revisits
+                    ec = descend32(ec, fc, lvl - 1)
             e = ops3.prolong_correct(ec, e)
             e = apply_bcs32(e, lvl)
             e = smooth32(e, fdef, lvl, red_first=False)
