@@ -326,6 +326,47 @@ def _build_local_cycle(
     def cycle(e, r, from_zero=False):
         return descend(e, r, level, 0, from_zero=from_zero)
 
+    def restrict_stage(r, level, depth):
+        """Plain residual-free restriction of a defect field (for the
+        FMG ladder): r is already a residual, so restrict directly."""
+        n = hier32.sizes[level]
+        return restrict_local_padded(r, n, axis, n_dev)
+
+    def fmg(r):
+        """Full-multigrid bootstrap on the correction equation A e = r,
+        distributed: restrict the defect down the sharded ladder, run
+        the replicated single-chip FMG bootstrap on the gathered coarse
+        defect, then per sharded level prolongate up and run one
+        distributed V-cycle — the sharded twin of
+        cycles_padded.make_padded_fmg_bootstrap (reference driver:
+        mg_dirichlet_analytic.c:771-806)."""
+        rep_fmg = cp.make_padded_fmg_bootstrap(sub, cfg, jnp_level_max)
+        rs = [r]  # depth 0 (finest) first
+        for depth in range(plan.n_sharded):
+            lvl = hier32.num_levels - 1 - depth
+            rs.append(restrict_stage(rs[-1], lvl, depth))
+        # replicated FMG on the gathered coarse defect
+        r_rep = jax.lax.all_gather(rs[-1], axis, axis=0, tiled=True)[:n_rep]
+        e_rep = rep_fmg(r_rep)
+        depth = plan.n_sharded
+        L = plan.local_planes(depth)
+        pad = plan.padded_planes(depth) - n_rep
+        e_pad = jnp.pad(e_rep, ((0, pad), (0, 0), (0, 0)))
+        g0 = (jax.lax.axis_index(axis) * L).astype(jnp.int32)
+        z = jnp.zeros((), jnp.int32)
+        e = jax.lax.dynamic_slice(
+            e_pad, (g0, z, z), (L, e_rep.shape[1], e_rep.shape[2])
+        )
+        for depth in range(plan.n_sharded - 1, -1, -1):
+            lvl = hier32.num_levels - 1 - depth
+            nc = hier32.sizes[lvl - 1]
+            ef = prolong_correct_local_padded(
+                e, jnp.zeros_like(rs[depth]), nc, axis, n_dev
+            )
+            e = descend(ef, rs[depth], lvl, depth)
+        return e
+
+    cycle.fmg = fmg
     return cycle
 
 
@@ -367,13 +408,17 @@ def make_sharded_df_solver(
     inner_cycles: int = 4,
     jnp_level_max: int = cp._JNP_LEVEL_MAX,
     block_i: int = 8,
+    use_fmg: bool = False,
 ) -> Tuple[Callable, ShardPlan]:
     """run(u_hi, u_lo, f_hi, f_lo) -> (u_hi, u_lo, norm, n_outer): the
     distributed twin of cycles_padded.make_on_device_df_solver — the
     whole solve-to-tolerance as ONE jitted lax.while_loop under
     shard_map. Double-float solution, fused EFT residual+norm kernel
     (partials psummed over the mesh), ``inner_cycles`` fused-Pallas
-    V-cycles per outer defect step."""
+    V-cycles per outer defect step. ``use_fmg`` bootstraps with a
+    distributed full-multigrid pass on the initial defect (the sharded
+    analogue of mg_dirichlet_analytic.c:984-1001; not counted in
+    n_outer)."""
     import sys
 
     sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
@@ -423,6 +468,10 @@ def make_sharded_df_solver(
             return jnp.logical_and(nrm > tol, it < max_cycles)
 
         r0, n0 = residual_norm(u_hi, u_lo, f_hi, f_lo)
+        if use_fmg:
+            e = inner.fmg(r0)
+            u_hi, u_lo = pk.df_add(u_hi, u_lo, e)
+            r0, n0 = residual_norm(u_hi, u_lo, f_hi, f_lo)
         out = jax.lax.while_loop(
             cond, body, (u_hi, u_lo, r0, n0, jnp.asarray(0), f_hi, f_lo)
         )

@@ -73,6 +73,91 @@ def print_memory_plan(n: int, device_list):
     single = 6 * n * plane_bytes / 2**30
     print(f"\n(single chip would need ~{single:.1f} GiB for the finest "
           "level alone)")
+    print_dispatch_plan(n, device_list)
+
+
+def print_dispatch_plan(n: int, device_list, n_smooth: int = 2,
+                        jnp_level_max: int = 33, block_i: int = 8):
+    """Per level and mesh size: does the sharded df solver dispatch the
+    fused Pallas kernels or the jnp fallback (the _use_pallas gate at
+    parallel/sharded_padded.py), and at what block_i? Makes the
+    deployment plan's performance claims rest on levels that actually
+    take the fast path (round-2 verdict weak #6)."""
+    import math
+
+    from multigrid_parallel_tpu.hierarchy import Hierarchy
+    from multigrid_parallel_tpu.ops import pallas3d as pk
+    from multigrid_parallel_tpu.ops import pallas_sharded as px
+    from multigrid_parallel_tpu.parallel.sharded import plan_sharding
+    from multigrid_parallel_tpu.parallel.sharded_padded import _use_pallas
+
+    num_levels = int(math.log2((n - 1) // 4)) + 1
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=num_levels)
+    assert hier.finest_n == n, (hier.finest_n, n)
+    H = 2 * n_smooth
+
+    print(f"\n## {n}^3 fused-vs-fallback dispatch map "
+          f"(n_smooth={n_smooth}, jnp_level_max={jnp_level_max}, "
+          f"requested block_i={block_i})")
+    print()
+    print("| devices | level sizes: dispatch (smoother block_i) |")
+    print("|---|---|")
+    for nd in device_list:
+        plan = plan_sharding(hier, nd)
+        cells = []
+        for depth in range(plan.n_sharded):
+            level = hier.num_levels - 1 - depth
+            nl = hier.sizes[level]
+            L = plan.local_planes(depth)
+            _, sj, sk = pk.padded_shape(nl)
+            if _use_pallas(nl, L, H, jnp_level_max):
+                bi = px.ext_block_i(L, sj, sk, H, 2, requested=block_i)
+                cells.append(f"{nl}: pallas(bi={bi})" if bi
+                             else f"{nl}: jnp (no block fits)")
+            else:
+                why = "small level" if nl <= jnp_level_max else f"L={L}<{max(H+2,4)}"
+                cells.append(f"{nl}: jnp ({why})")
+        rep = hier.sizes[hier.num_levels - 1 - plan.n_sharded]
+        cells.append(f"<= {rep}: replicated single-chip cycle")
+        print(f"| {nd} | {'; '.join(cells)} |")
+
+    # 2D-mesh dispatch: at 1025^3 the finest planes (4.75 MiB padded)
+    # cannot fit a double-buffered 1D slab in VMEM at ANY block_i —
+    # the (i, j) decomposition (parallel/sharded2d_padded) shrinks the
+    # local plane so the fused kernels apply again.
+    from multigrid_parallel_tpu.ops import pallas_sharded2d as px2
+    from multigrid_parallel_tpu.parallel.sharded2d_padded import (
+        _use_pallas2d,
+        plan_sharding_2d_padded,
+    )
+
+    meshes = [(nd // 2, 2) for nd in device_list if nd >= 4]
+    meshes += [(8, 8)] if (8, 8) not in meshes else []
+    print(f"\n2D-mesh dispatch map (same gate + sublane alignment):")
+    print()
+    print("| mesh | level sizes: dispatch |")
+    print("|---|---|")
+    for nx, ny in meshes:
+        plan2 = plan_sharding_2d_padded(hier, nx, ny)
+        cells = []
+        for depth in range(plan2.n_sharded):
+            level = hier.num_levels - 1 - depth
+            nl = hier.sizes[level]
+            Li = plan2.local_i(depth)
+            Lj = plan2.local_j(depth)
+            sk = pk.padded_shape(nl)[2]
+            sje = Lj + 2 * px2.HJ
+            if _use_pallas2d(nl, Li, Lj, H, jnp_level_max):
+                bi = px2.ext2d_block_i(Li, sje, sk, H, 2, requested=block_i)
+                cells.append(f"{nl}: pallas(bi={bi})" if bi
+                             else f"{nl}: jnp (no block fits)")
+            else:
+                why = ("small level" if nl <= jnp_level_max
+                       else (f"Lj={Lj}%8" if Lj % 8 else f"Li={Li}"))
+                cells.append(f"{nl}: jnp ({why})")
+        rep = hier.sizes[hier.num_levels - 1 - plan2.n_sharded]
+        cells.append(f"<= {rep}: replicated")
+        print(f"| {nx}x{ny} | {'; '.join(cells)} |")
 
 
 def main():
