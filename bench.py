@@ -7,12 +7,14 @@ tolerance 1e-8 against ||f||_2 — BASELINE.md measures the C/OpenMP code at
 
 Solver under test: the all-f32 double-float performance path — fused
 Pallas smoother/residual kernels inside an f32 correction V-cycle
-(padded lane layout), wrapped in a defect-correction outer loop whose
-solution is a two-f32 double-float pair and whose residual is a
-compensated (error-free-transformation) Pallas kernel. No f64 ops
-anywhere on device; the whole solve is one jitted lax.while_loop.
-Accuracy matches the f64 path (solution error 2.2e-9 vs the analytic
-oracle at 257^3).
+(k-TRIM padded lane layout: the high-k boundary is folded into the RHS
+and its lane dropped, 256 instead of 384 lanes at 257^3 — 2/3 the HBM
+traffic and computed points of every kernel, measured 1.16x
+whole-solve), wrapped in a defect-correction outer loop whose solution
+is a two-f32 double-float pair and whose residual is a compensated
+(error-free-transformation) Pallas kernel. No f64 ops anywhere on
+device; the whole solve is one jitted lax.while_loop. Accuracy matches
+the f64 path (solution error 2.1e-9 vs the analytic oracle at 257^3).
 
 Metric: time-to-solution (best-of-repeats wall seconds); vs_baseline =
 baseline wall 10.74 s / our wall. The derived smoother throughput in
@@ -50,12 +52,15 @@ def run(levels: int = 7, n_smooth: int = 2, repeats: int = 6,
     cfg = mg.CycleConfig(n_smooth=n_smooth)
     problem = mg.poisson_3d_quadratic()
 
+    from multigrid_parallel_tpu.cycles_padded import ref_init_norm
+
+    init = ref_init_norm(problem, hier)
     solver = make_on_device_df_solver(
         hier, cfg, rel_tol=REL_TOL, max_cycles=40,
         inner_cycles=inner_cycles, use_fmg=use_fmg,
+        trim=True, init_norm=init,
     )
-    u_hi, u_lo, f_hi, f_lo = setup_df_problem(problem, hier)
-    init = float((f_hi.astype("float64") ** 2).sum() ** 0.5)
+    u_hi, u_lo, f_hi, f_lo = setup_df_problem(problem, hier, trim=True)
 
     # Warm-up: compile + one full solve.
     _, _, norm, n_outer = solver(u_hi, u_lo, f_hi, f_lo)

@@ -31,14 +31,25 @@ from multigrid_parallel_tpu.ops import pallas3d as pk
 from multigrid_parallel_tpu.ops import stencils_3d as ops3
 
 
+def _coarse_k_width(nf: int, skf: int) -> int:
+    """Coarse k width matching the fine layout (full vs k-trim)."""
+    nc = (nf + 1) // 2
+    if skf == pk.padded_shape_trim(nf)[2] and skf != pk.padded_shape(nf)[2]:
+        return pk.padded_shape_trim(nc)[2]
+    return pk.padded_shape(nc)[2]
+
+
 @functools.lru_cache(maxsize=None)
-def _restrict_matrices_np(nf: int):
+def _restrict_matrices_np(nf: int, skf: int = 0, skc: int = 0):
     """Padded (SJc/SKc x SJf/SKf) 3-tap restriction matrices for the j and
     k axes; rows outside [1, nc-2] are zero (correction boundaries are
-    zero by construction)."""
+    zero by construction). skf/skc override the k widths (the k-trim
+    layout); 0 = full padded widths."""
     nc = (nf + 1) // 2
-    _, sjf, skf = pk.padded_shape(nf)
-    _, sjc, skc = pk.padded_shape(nc)
+    _, sjf, _skf = pk.padded_shape(nf)
+    _, sjc, _skc = pk.padded_shape(nc)
+    skf = skf or _skf
+    skc = skc or _skc
 
     def build(rows, cols):
         s = np.zeros((rows, cols))
@@ -50,17 +61,26 @@ def _restrict_matrices_np(nf: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _prolong_matrices_np(nc: int):
-    """Padded linear-interpolation matrices for the j and k axes."""
+def _prolong_matrices_np(nc: int, skc: int = 0, skf: int = 0):
+    """Padded linear-interpolation matrices for the j and k axes. Trim
+    layouts pass their k widths; taps into dropped boundary columns
+    vanish automatically (the coarse boundary value is zero)."""
     nf = 2 * nc - 1
-    _, sjf, skf = pk.padded_shape(nf)
-    _, sjc, skc = pk.padded_shape(nc)
+    _, sjf, _skf = pk.padded_shape(nf)
+    _, sjc, _skc = pk.padded_shape(nc)
+    skf = skf or _skf
+    skc = skc or _skc
 
     def build(rows, cols):
         p = np.zeros((rows, cols))
-        p[2 * np.arange(nc), np.arange(nc)] = 1.0
-        p[2 * np.arange(nc - 1) + 1, np.arange(nc - 1)] = 0.5
-        p[2 * np.arange(nc - 1) + 1, np.arange(nc - 1) + 1] = 0.5
+        fine = 2 * np.arange(nc)
+        ok = fine < rows
+        p[fine[ok], np.arange(nc)[ok]] = 1.0
+        fo = 2 * np.arange(nc - 1) + 1
+        p[fo, np.arange(nc - 1)] = 0.5
+        hi = np.arange(nc - 1) + 1
+        ok = hi < cols
+        p[fo[ok], hi[ok]] = 0.5
         return p
 
     return build(sjf, sjc), build(skf, skc)
@@ -90,10 +110,12 @@ def _prolong_i_matrix_np(nc: int):
 def restrict_padded(r: jnp.ndarray, nf: int) -> jnp.ndarray:
     """(nf, SJf, SKf) residual -> (nc, SJc, SKc) coarse RHS, full
     weighting on the interior, zero boundary (correction semantics).
+    The coarse k width follows the input's layout (full or k-trim).
 
     All three axes are separable 3-tap matmuls on the MXU (measured
     faster than strided plane taps along i, which relayout poorly)."""
-    sj, sk = _restrict_matrices_np(nf)
+    sj, sk = _restrict_matrices_np(nf, r.shape[2],
+                                   _coarse_k_width(nf, r.shape[2]))
     sj = jnp.asarray(sj, r.dtype)
     sk = jnp.asarray(sk, r.dtype)
     si = jnp.asarray(_restrict_i_matrix_np(nf), r.dtype)
@@ -107,7 +129,7 @@ def prolong_correct_padded(ec: jnp.ndarray, ef: jnp.ndarray, nc: int) -> jnp.nda
 
     The i-axis interleave is also a matmul (measured faster than the
     stack/reshape interleave, which relayouts)."""
-    pj, pkm = _prolong_matrices_np(nc)
+    pj, pkm = _prolong_matrices_np(nc, ec.shape[2], ef.shape[2])
     pj = jnp.asarray(pj, ec.dtype)
     pkm = jnp.asarray(pkm, ec.dtype)
     pi = jnp.asarray(_prolong_i_matrix_np(nc), ec.dtype)[: ef.shape[0], : ec.shape[0]]
@@ -297,10 +319,7 @@ def make_padded_fmg_bootstrap(
         )
         for level in range(1, hier32.num_levels):
             nc = hier32.sizes[level - 1]
-            nf = hier32.sizes[level]
-            ef = prolong_correct_padded(
-                e, jnp.zeros(pk.padded_shape(nf), r.dtype), nc
-            )
+            ef = prolong_correct_padded(e, jnp.zeros_like(rs[level]), nc)
             e = descend(ef, rs[level], level)
         return e
 
@@ -316,6 +335,8 @@ def make_on_device_df_solver(
     jnp_level_max: int = _JNP_LEVEL_MAX,
     use_fmg: bool = False,
     block_i: int = 16,
+    trim: bool = False,
+    init_norm: float = None,
 ):
     """run(u_hi, u_lo, f_hi, f_lo) -> (u_hi, u_lo, norm, n_outer):
     the all-f32 performance solver. The f64 state of the mixed solver is
@@ -332,6 +353,13 @@ def make_on_device_df_solver(
     performance-path analogue of the reference's FMG + V-cycles driver
     (mg_dirichlet_analytic.c:984-1001). The bootstrap is not counted in
     n_outer (the reference reports FMG separately).
+
+    ``trim``: expect k-TRIM layout inputs (pk.padded_shape_trim — see
+    setup_df_problem(trim=True)): 2/3 the lanes at 257³, 1/2 at 129³.
+    ``init_norm``: the reference's ||f||-whole-cube convergence constant
+    (test_mg_3d.c:40). REQUIRED with trim (the folded f̃ carries the
+    k-face Dirichlet values / h², so ||f̃|| is not the convention);
+    defaults to ||f_hi|| computed in-graph otherwise.
     """
     import sys
 
@@ -348,12 +376,17 @@ def make_on_device_df_solver(
     n = hier.sizes[level]
     h = hier.spacing(level)
 
+    if trim and init_norm is None:
+        raise ValueError("trim layout needs the reference-convention "
+                         "init_norm (||f|| before the boundary fold)")
+
     def residual(u_hi, u_lo, f_hi, f_lo):
         # fused EFT residual + ||r||^2 (one HBM pass)
         r, nrm2 = pk.residual_df_norm_fused_padded(u_hi, u_lo, f_hi, f_lo, h, n)
         return r, jnp.sqrt(nrm2)
 
-    _, sj_f, sk_f = pk.padded_shape(n)
+    shape_fn = pk.padded_shape_trim if trim else pk.padded_shape
+    _, sj_f, sk_f = shape_fn(n)
     bi_step = pk.df_step_block_i(n, sj_f, sk_f)
 
     def body(state):
@@ -377,7 +410,10 @@ def make_on_device_df_solver(
 
     @jax.jit
     def run(u_hi, u_lo, f_hi, f_lo):
-        init = jnp.sqrt(jnp.sum(f_hi * f_hi))
+        if init_norm is not None:
+            init = jnp.asarray(init_norm, jnp.float32)
+        else:
+            init = jnp.sqrt(jnp.sum(f_hi * f_hi))
         tol = jnp.asarray(rel_tol, jnp.float32) * init
 
         def cond(state):
@@ -397,15 +433,66 @@ def make_on_device_df_solver(
     return run
 
 
-def setup_df_problem(problem, hier: Hierarchy):
+def setup_df_problem(problem, hier: Hierarchy, trim: bool = False):
     """(u_hi, u_lo, f_hi, f_lo) padded double-float setup (reference
-    semantics, see cycles.setup_problem)."""
+    semantics, see cycles.setup_problem).
+
+    ``trim=True`` produces the k-TRIM layout (pk.padded_shape_trim):
+    the k-face Dirichlet values are FOLDED into the RHS (the standard
+    boundary elimination: f̃[..., 1] -= u_bc[..., 0]/h², f̃[..., n-2] -=
+    u_bc[..., n-1]/h²), the stored k=0 column is zeroed (so lane rolls
+    wrap onto exact zeros) and lane k = n-1 is dropped. Residuals and
+    the converged interior are IDENTICAL to the full layout; recover
+    the full solution with untrim_solution. Pair with
+    make_on_device_df_solver(trim=True, init_norm=ref_init_norm(...))."""
     from multigrid_parallel_tpu.cycles import setup_problem
 
     u64, f64 = setup_problem(problem, hier)
-    u_hi, u_lo = pk.df_split(u64, pad=True)
-    f_hi, f_lo = pk.df_split(f64, pad=True)
+    if not trim:
+        u_hi, u_lo = pk.df_split(u64, pad=True)
+        f_hi, f_lo = pk.df_split(f64, pad=True)
+        return u_hi, u_lo, f_hi, f_lo
+
+    n = hier.finest_n
+    h = hier.spacing(hier.num_levels - 1)
+    inv_h2 = 1.0 / (h * h)
+    f64 = f64.at[1:-1, 1:-1, 1].add(-inv_h2 * u64[1:-1, 1:-1, 0])
+    f64 = f64.at[1:-1, 1:-1, n - 2].add(-inv_h2 * u64[1:-1, 1:-1, n - 1])
+    u64 = u64.at[:, :, 0].set(0.0)
+
+    _, sj, skt = pk.padded_shape_trim(n)
+
+    def prep(x64):
+        x = x64[:, :, : n - 1]
+        x = jnp.pad(x, ((0, 0), (0, sj - n), (0, skt - (n - 1))))
+        return pk.df_split(x)
+
+    u_hi, u_lo = prep(u64)
+    f_hi, f_lo = prep(f64)
     return u_hi, u_lo, f_hi, f_lo
+
+
+def ref_init_norm(problem, hier: Hierarchy) -> float:
+    """||f||_2 over the WHOLE finest cube, boundary Dirichlet values
+    included — the reference's initial-residual convention
+    (mg_3d.h:1430-1433), computed BEFORE any trim fold."""
+    from multigrid_parallel_tpu.cycles import setup_problem
+
+    _, f64 = setup_problem(problem, hier)
+    return float(jnp.sqrt(jnp.sum(f64 * f64)))
+
+
+def untrim_solution(u_hi, u_lo, problem, hier: Hierarchy):
+    """Trim-layout df solution -> full (n, n, n) f64 cube with the
+    k-face Dirichlet boundaries re-attached."""
+    from multigrid_parallel_tpu.cycles import setup_problem
+    from multigrid_parallel_tpu.hierarchy import evaluate_on_grid
+
+    n = hier.finest_n
+    u64 = pk.df_to_f64(u_hi, u_lo)[:, :n, : n - 1]
+    bc = evaluate_on_grid(problem.bc, hier, hier.num_levels - 1)
+    u = jnp.concatenate([u64, bc[:, :, n - 1 :]], axis=2)
+    return u.at[:, :, 0].set(bc[:, :, 0])
 
 
 def make_on_device_mixed_solver_pallas(

@@ -80,6 +80,18 @@ def padded_shape(n: int):
     return (n, _rup(n, 8), _rup(n, 128))
 
 
+def padded_shape_trim(n: int):
+    """k-TRIM layout: lanes store k = 0..n-2 only; the high-k boundary
+    plane is implicit zero (exact for correction/defect fields, and for
+    u/f after folding the k-face Dirichlet values into the RHS —
+    cycles_padded.setup_df_problem(trim=True)). rup(n-1, 128) instead
+    of rup(n, 128): 384->256 lanes at 257, 256->128 at 129 — 2/3 (resp.
+    1/2) of the HBM traffic AND computed points of every kernel, with
+    no kernel changes (they are shape-driven, masks use n, and lane
+    rolls wrap onto the zero k=0 column, which trim setups keep zero)."""
+    return (n, _rup(n, 8), _rup(n - 1, 128))
+
+
 def pad3(x: jnp.ndarray) -> jnp.ndarray:
     """(n,n,n) cube -> (n, rup8, rup128) zero-padded array."""
     n = x.shape[0]
@@ -836,10 +848,13 @@ def residual_restrict_fused_padded(
 ):
     """Fused interior-residual + full-weighting restriction: padded fine
     (n, sj, sk) u, f -> padded coarse (nc, sjc, skc) RHS, one HBM pass.
-    Caller must check rr_fused_block_i(...) > 0 first."""
+    Caller must check rr_fused_block_i(...) > 0 first. The coarse k
+    width follows the input's layout (full or k-trim)."""
     nc = (n + 1) // 2
     _, sj, sk = u_pad.shape
     ncp, sjc, skc = padded_shape(nc)
+    if sk == padded_shape_trim(n)[2] and sk != padded_shape(n)[2]:
+        skc = padded_shape_trim(nc)[2]
     bi = block_i
     si = 2 * bi + 3
     nb = pl.cdiv(nc, bi)
