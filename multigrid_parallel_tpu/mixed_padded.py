@@ -1,0 +1,245 @@
+"""Electrospray (mixed-BC) performance path: padded fused-Pallas cycle.
+
+Brings the mg_3d_bkup.c physics problem onto the same performance tier
+as the Dirichlet benchmark solver (round-2 verdict item #4): the f32
+correction V-cycle runs in the lane-padded layout with the mixed-BC
+fused kernels (ops.pallas_mixed — BC enforcement inside the streaming
+smoother), the residual+restrict stage reuses the Dirichlet fused
+kernel unchanged (the interior residual reads whatever boundary values
+the smoother maintained), and the outer loop is the double-float EFT
+defect iteration of cycles_padded.make_on_device_df_solver with
+per-step BC re-enforcement on the df solution pair.
+
+Convergence criterion matches MixedBCSolver.solve_on_device:
+||r|| <= rel_tol * ||r0|| (the charge-free problem has f = 0, so the
+reference's ||f|| convention is vacuous and the initial residual is the
+norm anchor).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multigrid_parallel_tpu import cycles_padded as cp
+from multigrid_parallel_tpu.hierarchy import Hierarchy
+from multigrid_parallel_tpu.mixed_bc import MixedBCSolver
+from multigrid_parallel_tpu.ops import pallas3d as pk
+from multigrid_parallel_tpu.ops import pallas_mixed as pm
+
+
+def apply_bcs_padded(e, n, pin, vals=None):
+    """Whole-face Neumann copies (x, y, z order — apply_neumann_copy
+    semantics) + Dirichlet pin on a padded (n, SJ, SK) array. ``pin``:
+    (2, SJ, SK) f32 patch masks; ``vals``: optional (2, SJ, SK) patch
+    values (None = zero pin, the correction-equation case)."""
+    e = e.at[0].set(e[1])
+    e = e.at[n - 1].set(e[n - 2])
+    e = e.at[:, 0].set(e[:, 1])
+    e = e.at[:, n - 1].set(e[:, n - 2])
+    e = e.at[:, :, 0].set(e[:, :, 1])
+    e = e.at[:, :, n - 1].set(e[:, :, n - 2])
+    v0 = jnp.zeros_like(e[0]) if vals is None else vals[0]
+    v1 = jnp.zeros_like(e[0]) if vals is None else vals[1]
+    e = e.at[0].set(jnp.where(pin[0] > 0.5, v0, e[0]))
+    return e.at[n - 1].set(jnp.where(pin[1] > 0.5, v1, e[n - 1]))
+
+
+def _mixed_smooth_padded_jnp(e, r, h, n_iter, n, pin, red_first=True):
+    """Masked-roll mixed smoother on padded arrays (small levels)."""
+    h2 = h * h
+    sj, sk = e.shape[1], e.shape[2]
+    from multigrid_parallel_tpu.ops import stencils_3d as ops3
+
+    colors = (ops3.RED, ops3.BLACK) if red_first else (ops3.BLACK, ops3.RED)
+    masks = {c: cp._padded_masks(n, sj, sk, c) for c in set(colors)}
+    for _ in range(n_iter):
+        for c in colors:
+            nbr = (
+                jnp.roll(e, 1, 0) + jnp.roll(e, -1, 0)
+                + jnp.roll(e, 1, 1) + jnp.roll(e, -1, 1)
+                + jnp.roll(e, 1, 2) + jnp.roll(e, -1, 2)
+            )
+            e = jnp.where(masks[c], (nbr - h2 * r) * (1.0 / 6.0), e)
+            e = apply_bcs_padded(e, n, pin)
+    return e
+
+
+def _make_mixed_descend(
+    solver: MixedBCSolver,
+    hier32: Hierarchy,
+    jnp_level_max: int,
+    block_i: int,
+):
+    """descend(e_pad, r_pad, level, from_zero) for the mixed correction
+    equation (zero Dirichlet pins, Neumann copies at every level)."""
+    n_smooth = solver.n_smooth
+    gamma = solver.gamma
+    problem = solver.problem
+
+    pins = []
+    for lvl in range(hier32.num_levels):
+        nl = hier32.sizes[lvl]
+        _, sj, sk = pk.padded_shape(nl)
+        pins.append(pm.dirichlet_pin_planes(problem, nl, sj, sk))
+
+    lu32 = jnp.asarray(solver._lu_host, dtype=jnp.float32)
+    piv32 = jnp.asarray(solver._piv_host, dtype=jnp.int32)
+    n0 = hier32.sizes[0]
+    mask0 = pins[0]
+
+    def coarse32(fc_pad):
+        fc = pk.unpad3(fc_pad, n0)
+        x = jax.scipy.linalg.lu_solve((lu32, piv32), fc.reshape(-1))
+        x = x.reshape(fc.shape)
+        xp = pk.pad3(x)
+        # correction pins Dirichlet patch nodes to exactly zero
+        xp = xp.at[0].set(jnp.where(mask0[0] > 0.5, 0.0, xp[0]))
+        return xp.at[n0 - 1].set(jnp.where(mask0[1] > 0.5, 0.0, xp[n0 - 1]))
+
+    def descend(e, r, level, from_zero=False):
+        n = hier32.sizes[level]
+        if level == 0:
+            return coarse32(r)
+        h = hier32.spacing(level)
+        pin = pins[level]
+        if n <= jnp_level_max:
+            if from_zero:
+                e = jnp.zeros_like(r)
+            e = _mixed_smooth_padded_jnp(e, r, h, n_smooth, n, pin, True)
+            rc = cp.restrict_padded(cp._residual_padded_jnp(e, r, h, n), n)
+            ec = _recurse(rc, level - 1)
+            e = cp.prolong_correct_padded(ec, e, hier32.sizes[level - 1])
+            e = apply_bcs_padded(e, n, pin)
+            return _mixed_smooth_padded_jnp(e, r, h, n_smooth, n, pin, False)
+        _, sj, sk = r.shape
+        bi_s = pm.mixed_block_i(n, sj, sk, n_smooth, requested=block_i)
+        if bi_s:
+            if from_zero:
+                e = pm.mixed_rb_smooth_from_zero_fused(
+                    r, pin, h, n_smooth, n, red_first=True, block_i=bi_s)
+            else:
+                e = pm.mixed_rb_smooth_fused(
+                    e, r, pin, h, n_smooth, n, red_first=True, block_i=bi_s)
+        else:
+            if from_zero:
+                e = jnp.zeros_like(r)
+            e = _mixed_smooth_padded_jnp(e, r, h, n_smooth, n, pin, True)
+        # residual+restrict: the Dirichlet fused kernel applies verbatim
+        # (interior residual over the smoother-maintained boundary)
+        bi_rr = pk.rr_fused_block_i(n, sj, sk, e.dtype.itemsize)
+        if bi_rr:
+            rc = pk.residual_restrict_fused_padded(e, r, h, n, block_i=bi_rr)
+        else:
+            rc = cp.restrict_padded(cp._residual_padded_jnp(e, r, h, n), n)
+        ec = _recurse(rc, level - 1)
+        bi_p = pm.mixed_block_i(n, sj, sk, n_smooth, requested=block_i)
+        if bi_p:
+            e = pm.mixed_prolong_smooth_fused(
+                ec, e, r, pin, h, n_smooth, n, block_i=bi_p)
+        else:
+            e = cp.prolong_correct_padded(ec, e, hier32.sizes[level - 1])
+            e = apply_bcs_padded(e, n, pin)
+            e = _mixed_smooth_padded_jnp(e, r, h, n_smooth, n, pin, False)
+        return e
+
+    def _recurse(rc, level):
+        ec = descend(None, rc, level, from_zero=True)
+        if level > 0:
+            for _ in range(gamma - 1):  # W-cycle revisits
+                ec = descend(ec, rc, level)
+        return ec
+
+    return descend
+
+
+def make_mixed_padded_df_solver(
+    solver: MixedBCSolver,
+    rel_tol: float = 1e-8,
+    max_cycles: int = 100,
+    inner_cycles: int = 2,
+    jnp_level_max: int = cp._JNP_LEVEL_MAX,
+    block_i: int = 8,
+):
+    """run(u_hi, u_lo, f_hi, f_lo) -> (u_hi, u_lo, norm, n_outer): the
+    whole electrospray solve as ONE jitted lax.while_loop on the padded
+    fused-Pallas tier — the mixed-BC twin of
+    cycles_padded.make_on_device_df_solver. Honors solver.gamma
+    (W-cycle); solver.boundary_band_* applies only to the host paths.
+
+    Pair with setup_mixed_df_problem; recover the solution with
+    unpack_mixed_solution."""
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+
+    hier = solver.hier
+    f32 = jnp.float32
+    hier32 = dataclasses.replace(hier, dtype=f32)
+    inner = _make_mixed_descend(solver, hier32, jnp_level_max, block_i)
+    level = hier.num_levels - 1
+    n = hier.sizes[level]
+    h = hier.spacing(level)
+    _, sj, sk = pk.padded_shape(n)
+    pin_top = pm.dirichlet_pin_planes(solver.problem, n, sj, sk)
+
+    _, vals64 = solver.problem.boundary_masks(n)
+    v0_hi, v0_lo = pk.df_split(jnp.asarray(vals64[0]))
+    v1_hi, v1_lo = pk.df_split(jnp.asarray(vals64[n - 1]))
+    vals_hi = jnp.stack([jnp.pad(v0_hi, ((0, sj - n), (0, sk - n))),
+                         jnp.pad(v1_hi, ((0, sj - n), (0, sk - n)))])
+    vals_lo = jnp.stack([jnp.pad(v0_lo, ((0, sj - n), (0, sk - n))),
+                         jnp.pad(v1_lo, ((0, sj - n), (0, sk - n)))])
+
+    def enforce_outer_bcs(u_hi, u_lo):
+        u_hi = apply_bcs_padded(u_hi, n, pin_top, vals_hi)
+        u_lo = apply_bcs_padded(u_lo, n, pin_top, vals_lo)
+        return u_hi, u_lo
+
+    def residual_norm(u_hi, u_lo, f_hi, f_lo):
+        r, nrm2 = pk.residual_df_norm_fused_padded(u_hi, u_lo, f_hi, f_lo,
+                                                   h, n)
+        return r, jnp.sqrt(nrm2)
+
+    def body(state):
+        u_hi, u_lo, r, nrm, it, f_hi, f_lo = state
+        e = inner(None, r, level, from_zero=True)
+        for _ in range(inner_cycles - 1):  # static unroll
+            e = inner(e, r, level)
+        u_hi, u_lo = pk.df_add(u_hi, u_lo, e)
+        u_hi, u_lo = enforce_outer_bcs(u_hi, u_lo)
+        r, nrm = residual_norm(u_hi, u_lo, f_hi, f_lo)
+        return u_hi, u_lo, r, nrm, it + 1, f_hi, f_lo
+
+    @jax.jit
+    def run(u_hi, u_lo, f_hi, f_lo):
+        r0, n0 = residual_norm(u_hi, u_lo, f_hi, f_lo)
+        tol = jnp.asarray(rel_tol, f32) * n0
+
+        def cond(state):
+            nrm, it = state[3], state[4]
+            return jnp.logical_and(nrm > tol, it < max_cycles)
+
+        out = jax.lax.while_loop(
+            cond, body, (u_hi, u_lo, r0, n0, jnp.asarray(0), f_hi, f_lo)
+        )
+        return out[0], out[1], out[3], out[4]
+
+    return run
+
+
+def setup_mixed_df_problem(solver: MixedBCSolver):
+    """(u_hi, u_lo, f_hi, f_lo) padded df pair from the electrospray
+    initial state (BC-enforced zeros; f = 0)."""
+    u0, f = solver.initial_state()
+    u_hi, u_lo = pk.df_split(jnp.asarray(u0, jnp.float64), pad=True)
+    f_hi, f_lo = pk.df_split(jnp.asarray(f, jnp.float64), pad=True)
+    return u_hi, u_lo, f_hi, f_lo
+
+
+def unpack_mixed_solution(u_hi, u_lo, hier: Hierarchy):
+    n = hier.finest_n
+    return pk.unpad3(pk.df_to_f64(u_hi, u_lo), n)

@@ -1,0 +1,60 @@
+"""Sharded mixed-BC (electrospray) cycle vs single-device equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multigrid_parallel_tpu.hierarchy import Hierarchy
+from multigrid_parallel_tpu.mixed_bc import MixedBCSolver
+from multigrid_parallel_tpu.models.electrospray import electrospray_problem
+from multigrid_parallel_tpu.parallel import sharded_mixed as sm
+from multigrid_parallel_tpu.parallel.sharded import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("gamma", [1, 2])
+def test_sharded_mixed_cycle_matches_single_device(mesh, gamma):
+    prob = electrospray_problem()
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4, length=prob.length)
+    s = MixedBCSolver(prob, hier, n_smooth=2, gamma=gamma)
+
+    cycle_n, plan = sm.make_sharded_mixed_bc_cycle(s, mesh)
+    un, fn = sm.setup_mixed_problem_sharded(s, mesh, plan)
+    u1, f1 = s.initial_state()
+
+    for it in range(3):
+        u1, n1 = s._cycle(u1, f1)
+        un, nn = cycle_n(un, fn)
+        assert float(nn) == pytest.approx(float(n1), rel=1e-10), it
+
+    n = hier.finest_n
+    np.testing.assert_allclose(
+        np.asarray(un[:n]), np.asarray(u1), rtol=0, atol=1e-8
+    )
+
+
+def test_sharded_mixed_converges(mesh):
+    prob = electrospray_problem()
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4, length=prob.length)
+    s = MixedBCSolver(prob, hier, n_smooth=2, gamma=2)
+    cycle, plan = sm.make_sharded_mixed_bc_cycle(s, mesh)
+    u, f = sm.setup_mixed_problem_sharded(s, mesh, plan)
+    lvl = hier.num_levels - 1
+    from multigrid_parallel_tpu.ops import stencils_3d as ops3
+
+    n = hier.finest_n
+    init = float(ops3.residual_norm(u[:n], f[:n], hier.spacing(lvl)))
+    norm = init
+    for _ in range(25):
+        u, nd = cycle(u, f)
+        norm = float(nd)
+        if norm <= 1e-8 * init:
+            break
+    assert norm <= 1e-8 * init, norm
