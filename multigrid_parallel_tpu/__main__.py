@@ -50,6 +50,11 @@ def main(argv=None):
     p.add_argument("--electrospray", action="store_true",
                    help="mixed-BC electrospray potential problem "
                         "(mg_3d_bkup.c)")
+    p.add_argument("--band", type=int, nargs=2, default=None,
+                   metavar=("WIDTH", "ITERS"),
+                   help="electrospray boundary-band relaxation (the "
+                        "docs/MIXED_BC.md convergence fix, e.g. "
+                        "--band 2 2; combine with --gamma 2)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -103,7 +108,10 @@ def main(argv=None):
         prob = electrospray_problem()
         hier = _H(ndim=3, coarse_n=args.coarse_n, num_levels=args.num_levels,
                   length=prob.length)
-        ms = MixedBCSolver(prob, hier, n_smooth=args.gs_iter)
+        bw, bi = args.band if args.band else (0, 0)
+        ms = MixedBCSolver(prob, hier, n_smooth=args.gs_iter,
+                           gamma=args.gamma, boundary_band_width=bw,
+                           boundary_band_iters=bi)
         t0 = time.perf_counter()
         if args.mixed:
             # jit-fused performance path: one lax.while_loop, f32 inner

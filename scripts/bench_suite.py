@@ -214,11 +214,59 @@ def electrospray_row():
     return row
 
 
+def north_star_rows(n_levels=7):
+    """Regenerates docs/ACCURACY.md's 257³ convention-2 table: V-cycles
+    to 1e-10 relative to the INITIAL INTERIOR residual ||r0|| (the
+    iterative-methods convention — 1e-10 vs ||f|| is below the f64
+    evaluation floor, see ACCURACY.md), one f32 V-cycle per df defect
+    step, n_smooth in {2, 3, 4}."""
+    from multigrid_parallel_tpu.cycles_padded import ref_init_norm
+
+    hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=n_levels)
+    prob = mg.poisson_3d_quadratic()
+    rows = []
+    for ns in (2, 3, 4):
+        cfg = mg.CycleConfig(n_smooth=ns)
+        st = setup_df_problem(prob, hier, trim=True)
+        # convention-2 anchor: ||r0|| via one EFT residual pass
+        n = hier.finest_n
+        h = hier.spacing(n_levels - 1)
+
+        @jax.jit
+        def r0_norm(u_hi, u_lo, f_hi, f_lo):
+            _, nrm2 = pk.residual_df_norm_fused_padded(
+                u_hi, u_lo, f_hi, f_lo, h, n)
+            return jnp.sqrt(nrm2)
+
+        init_r0 = float(r0_norm(*st))
+        run = make_on_device_df_solver(
+            hier, cfg, rel_tol=1e-10, max_cycles=40, inner_cycles=1,
+            trim=True, init_norm=init_r0,
+        )
+        _, _, norm, it = run(*st)
+        rows.append((ns, int(it), float(norm) / init_r0))
+        print(f"north-star n_smooth={ns}: {int(it)} V-cycles to "
+              f"{float(norm)/init_r0:.2e} (vs ||r0||={init_r0:.3e})",
+              flush=True)
+    lines = ["| n_smooth | V-cycles to 1e-10 (vs ||r0||) | final rel resid |",
+             "|---|---|---|"]
+    for ns, it, rel in rows:
+        lines.append(f"| {ns} | {it} | {rel:.2e} |")
+    return "\n".join(lines)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="solve table + kernels only")
+    ap.add_argument("--north-star", action="store_true",
+                    help="regenerate the ACCURACY.md 257^3 1e-10 "
+                         "convention-2 table and exit")
     args = ap.parse_args()
+
+    if args.north_star:
+        print(north_star_rows())
+        return
 
     dev = jax.devices()[0]
     solve = solve_rows()
