@@ -489,10 +489,13 @@ def _make_residual_restrict_ext_kernel(n, nc, L, Lc, si, sj, sk, bi, sjc, skc,
 def residual_restrict_ext(u_ext, f_ext, gi0, h, n, Lc, block_i=8):
     """Fused residual + restriction on a local block: fine ext (halo 2)
     (L+4, SJ, SK) -> coarse local (Lc, SJc, SKc). gi0 = global fine plane
-    of ext row 0 (= axis_index * L - 2)."""
+    of ext row 0 (= axis_index * L - 2). The coarse k width follows the
+    input layout (full or k-trim)."""
     nc = (n + 1) // 2
     _, sj, sk = u_ext.shape
     _, sjc, skc = pk.padded_shape(nc)
+    if sk == pk.padded_shape_trim(n)[2] and sk != pk.padded_shape(n)[2]:
+        skc = pk.padded_shape_trim(nc)[2]
     bi = block_i
     si = 2 * bi + 3
     L = u_ext.shape[0] - 4

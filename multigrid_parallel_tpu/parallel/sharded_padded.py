@@ -153,9 +153,12 @@ def _prolong_i_local_np(L: int):
 def restrict_local_padded(res, n, axis, n_dev):
     """(L, SJ, SK) residual -> (L/2, SJc, SKc) coarse RHS: j/k via the
     padded separable matmuls (cycles_padded), i via a local band matmul
-    over a 1-plane halo (no stride-2 slicing)."""
+    over a 1-plane halo (no stride-2 slicing). k widths follow the
+    input layout (full or k-trim)."""
     L = res.shape[0]
-    sjm, skm = cp._restrict_matrices_np(n)
+    sjm, skm = cp._restrict_matrices_np(
+        n, res.shape[2], cp._coarse_k_width(n, res.shape[2])
+    )
     sjm = jnp.asarray(sjm, res.dtype)
     skm = jnp.asarray(skm, res.dtype)
     t = jnp.einsum("bj,ijk->ibk", sjm, res, precision=ops3._HIGHEST)
@@ -173,7 +176,7 @@ def prolong_correct_local_padded(ec, ef, nc, axis, n_dev):
     """ef += trilinear interp of ec on local blocks (coarse right-halo 1)."""
     lc = ec.shape[0]
     L = 2 * lc
-    pj, pkm = cp._prolong_matrices_np(nc)
+    pj, pkm = cp._prolong_matrices_np(nc, ec.shape[2], ef.shape[2])
     pj = jnp.asarray(pj, ec.dtype)
     pkm = jnp.asarray(pkm, ec.dtype)
     t = jnp.einsum("jb,ibc->ijc", pj, ec, precision=ops3._HIGHEST)
@@ -409,6 +412,8 @@ def make_sharded_df_solver(
     jnp_level_max: int = cp._JNP_LEVEL_MAX,
     block_i: int = 8,
     use_fmg: bool = False,
+    trim: bool = False,
+    init_norm: float = None,
 ) -> Tuple[Callable, ShardPlan]:
     """run(u_hi, u_lo, f_hi, f_lo) -> (u_hi, u_lo, norm, n_outer): the
     distributed twin of cycles_padded.make_on_device_df_solver — the
@@ -418,10 +423,16 @@ def make_sharded_df_solver(
     V-cycles per outer defect step. ``use_fmg`` bootstraps with a
     distributed full-multigrid pass on the initial defect (the sharded
     analogue of mg_dirichlet_analytic.c:984-1001; not counted in
-    n_outer)."""
+    n_outer). ``trim``: k-TRIM layout inputs (pair with
+    setup_df_problem_sharded_padded(trim=True) and pass the ||f||
+    convention constant as ``init_norm`` — see cycles_padded)."""
     import sys
 
     sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+
+    if trim and init_norm is None:
+        raise ValueError("trim layout needs the reference-convention "
+                         "init_norm (||f|| before the boundary fold)")
 
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
@@ -434,7 +445,7 @@ def make_sharded_df_solver(
     n = hier.sizes[level]
     h = hier.spacing(level)
     L0 = plan.local_planes(0)
-    _, sj, sk = pk.padded_shape(n)
+    _, sj, sk = (pk.padded_shape_trim(n) if trim else pk.padded_shape(n))
 
     def residual_norm(u_hi, u_lo, f_hi, f_lo):
         bi = px.ext_block_i(L0, sj, sk, 1, 4, requested=block_i)
@@ -451,7 +462,10 @@ def make_sharded_df_solver(
         return r, jnp.sqrt(jax.lax.psum(part, axis))
 
     def local_fn(u_hi, u_lo, f_hi, f_lo):
-        init = jnp.sqrt(jax.lax.psum(jnp.sum(f_hi * f_hi), axis))
+        if init_norm is not None:
+            init = jnp.asarray(init_norm, f32)
+        else:
+            init = jnp.sqrt(jax.lax.psum(jnp.sum(f_hi * f_hi), axis))
         tol = jnp.asarray(rel_tol, f32) * init
 
         def body(state):
@@ -491,14 +505,27 @@ def make_sharded_df_solver(
 
 
 def setup_df_problem_sharded_padded(problem, hier: Hierarchy, mesh: Mesh,
-                                    plan: ShardPlan):
+                                    plan: ShardPlan, trim: bool = False):
     """(u_hi, u_lo, f_hi, f_lo): double-float, lane-padded, i-padded to
-    n_dev*L, placed with a NamedSharding over the mesh."""
+    n_dev*L, placed with a NamedSharding over the mesh. ``trim`` uses
+    the k-TRIM layout (boundary fold — see cycles_padded.
+    setup_df_problem)."""
     from multigrid_parallel_tpu.cycles import setup_problem
 
-    u64, f64 = setup_problem(problem, hier)
     ipad = plan.padded_planes(0) - hier.finest_n
     sh = NamedSharding(mesh, P(plan.axis))
+
+    if trim:
+        u_hi, u_lo, f_hi, f_lo = cp.setup_df_problem(problem, hier,
+                                                     trim=True)
+
+        def place(x):
+            return jax.device_put(
+                jnp.pad(x, ((0, ipad), (0, 0), (0, 0))), sh)
+
+        return place(u_hi), place(u_lo), place(f_hi), place(f_lo)
+
+    u64, f64 = setup_problem(problem, hier)
 
     def prep(x64):
         hi, lo = pk.df_split(x64, pad=True)
@@ -512,6 +539,13 @@ def setup_df_problem_sharded_padded(problem, hier: Hierarchy, mesh: Mesh,
 
 
 def unpad_solution(u_hi, u_lo, hier: Hierarchy):
-    """Sharded padded df pair -> (n, n, n) f64 cube."""
+    """Sharded padded df pair -> (n, n, n) f64 cube (full layout)."""
     n = hier.finest_n
     return pk.unpad3(pk.df_to_f64(u_hi, u_lo)[:n], n)
+
+
+def untrim_solution_sharded(u_hi, u_lo, problem, hier: Hierarchy):
+    """Sharded TRIM df pair -> (n, n, n) f64 cube with the k-face
+    Dirichlet boundaries re-attached."""
+    n = hier.finest_n
+    return cp.untrim_solution(u_hi[:n], u_lo[:n], problem, hier)

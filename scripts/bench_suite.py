@@ -54,13 +54,22 @@ def _latency():
 
 
 def solve_rows():
+    from multigrid_parallel_tpu.cycles_padded import (
+        ref_init_norm,
+        untrim_solution,
+    )
+
     rows = []
     for levels in (4, 5, 6, 7, 8):  # 33..513
         hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=levels)
         n = hier.finest_n
         cfg = mg.CycleConfig(n_smooth=2)
-        run = make_on_device_df_solver(hier, cfg, rel_tol=REL_TOL, inner_cycles=4)
-        args = setup_df_problem(mg.poisson_3d_quadratic(), hier)
+        prob = mg.poisson_3d_quadratic()
+        init = ref_init_norm(prob, hier)
+        run = make_on_device_df_solver(hier, cfg, rel_tol=REL_TOL,
+                                       inner_cycles=4, trim=True,
+                                       init_norm=init)
+        args = setup_df_problem(prob, hier, trim=True)
         out = run(*args)
         float(out[2])  # compile + run
         best = float("inf")
@@ -70,7 +79,7 @@ def solve_rows():
             norm, it = float(out[2]), int(out[3])
             best = min(best, time.perf_counter() - t0)
         wall = best
-        u = pk.df_to_f64(pk.unpad3(out[0], n), pk.unpad3(out[1], n))
+        u = untrim_solution(out[0], out[1], prob, hier)
         exact = evaluate_on_grid(mg.poisson_3d_quadratic().analytic, hier, levels - 1)
         err = float(jnp.sqrt(jnp.sum((u - exact) ** 2)))
         cref = C_BASELINE.get(n)
@@ -87,12 +96,17 @@ def fmg_rows():
     """FMG bootstrap on the performance path vs plain V-cycles at 257³
     (mg_dirichlet_analytic.c:984-1001 capability)."""
     rows = []
+    from multigrid_parallel_tpu.cycles_padded import ref_init_norm
+
     hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=7)
     cfg = mg.CycleConfig(n_smooth=2)
-    args = setup_df_problem(mg.poisson_3d_quadratic(), hier)
+    prob = mg.poisson_3d_quadratic()
+    init = ref_init_norm(prob, hier)
+    args = setup_df_problem(prob, hier, trim=True)
     for use_fmg in (False, True):
         run = make_on_device_df_solver(
-            hier, cfg, rel_tol=REL_TOL, inner_cycles=4, use_fmg=use_fmg
+            hier, cfg, rel_tol=REL_TOL, inner_cycles=4, use_fmg=use_fmg,
+            trim=True, init_norm=init,
         )
         out = run(*args)
         float(out[2])

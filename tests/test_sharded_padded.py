@@ -320,3 +320,36 @@ def test_sharded_cycle_65_matches_single_chip():
     want = np.asarray(pk.unpad3(cyc1(None, pk.pad3(r), from_zero=True), n))
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, rtol=0, atol=2e-6 * scale)
+
+
+def test_sharded_df_solver_trim_matches_full(mesh):
+    """k-TRIM layout through the distributed solver: same outer count,
+    same solution as the full layout (and as the single-chip trim)."""
+    from multigrid_parallel_tpu import cycles_padded as cpd
+
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)  # 33^3
+    cfg = CycleConfig(n_smooth=2)
+    prob = poisson_3d_quadratic()
+    init = cpd.ref_init_norm(prob, hier)
+
+    run_t, plan = sp.make_sharded_df_solver(
+        hier, cfg, mesh, rel_tol=1e-8, inner_cycles=2,
+        jnp_level_max=9, block_i=4, trim=True, init_norm=init,
+    )
+    st_t = sp.setup_df_problem_sharded_padded(prob, hier, mesh, plan,
+                                              trim=True)
+    u_hi, u_lo, norm_t, it_t = run_t(*st_t)
+    u_t = sp.untrim_solution_sharded(u_hi, u_lo, prob, hier)
+
+    run_f, _ = sp.make_sharded_df_solver(
+        hier, cfg, mesh, plan, rel_tol=1e-8, inner_cycles=2,
+        jnp_level_max=9, block_i=4,
+    )
+    st_f = sp.setup_df_problem_sharded_padded(prob, hier, mesh, plan)
+    fu_hi, fu_lo, norm_f, it_f = run_f(*st_f)
+    u_f = sp.unpad_solution(fu_hi, fu_lo, hier)
+
+    assert int(it_t) == int(it_f)
+    assert float(norm_t) <= 1e-8 * init
+    np.testing.assert_allclose(np.asarray(u_t), np.asarray(u_f),
+                               rtol=0, atol=1e-10)
