@@ -342,6 +342,12 @@ criterion, test_mg_3d.c:19,40). C baseline: gcc -O2 -fopenmp, 4 threads
 CLAUDE.md); see scripts/roofline.py for the latency-calibrated kernel
 cross-checks and docs/ROOFLINE.md for the bound analysis.
 
+The solve and FMG tables run the k-TRIM layout (the round-3 headline
+path, docs/ROOFLINE.md); the kernel/stage/crossover tables measure the
+full padded layout (layout-comparison baselines). The electrospray
+257³ performance-path numbers (0.259 s, W-cycle) are in
+docs/MIXED_BC.md §3.
+
 ## Full solves
 
 | Grid | wall (s) | V-cycles | final resid | err vs analytic | C 4-thr (s) | speedup |
