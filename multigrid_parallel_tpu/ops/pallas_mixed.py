@@ -87,6 +87,18 @@ def _apply_bcs_slab(u, g0, n, si, sj, sk, pin0, pin1):
 
 
 def _mixed_rb_body(h, n_iter, red_first, n, si, sj, sk):
+    """Mixed-BC RB half-sweeps with the copy-BC FOLDED into the stencil.
+
+    Interior stencils only ever touch boundary points with exactly ONE
+    boundary coordinate, whose copy-BC value is by definition the
+    adjacent interior value — i.e. the reading point's own current
+    value (or zero at a Dirichlet patch). Folding that in (a select per
+    face-adjacent direction) makes the sweeps independent of the stored
+    boundary planes, so only ONE BC-enforcement pass per stage (at the
+    end, for downstream readers) is needed instead of one per
+    half-sweep — bit-identical iterates (copies are exact), ~30% fewer
+    stage ops. The z>y>x overwrite priority of apply_neumann_copy only
+    affects edge/corner nodes, which interior stencils never read."""
     h2 = h * h
     colors = (pk.RED, pk.BLACK) if red_first else (pk.BLACK, pk.RED)
 
@@ -94,14 +106,33 @@ def _mixed_rb_body(h, n_iter, red_first, n, si, sj, sk):
         interior, parity = _slab_masks(n, si, sj, sk, g0)
         masks = {c: interior[1:-1] & (parity[1:-1] == c) for c in set(colors)}
         h2ef = h2 * ef[1:-1]
+        gi = jax.lax.broadcasted_iota(jnp.int32, (si - 2, 1, 1), 0) + g0 + 1
+        jj = jax.lax.broadcasted_iota(jnp.int32, (1, sj, 1), 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sk), 2)
+        at_i1 = gi == 1
+        at_in = gi == n - 2
+        at_j1 = jj == 1
+        at_jn = jj == n - 2
+        at_k1 = kk == 1
+        at_kn = kk == n - 2
+        npin0 = pin0[None] > 0.5
+        npin1 = pin1[None] > 0.5
+        zero = jnp.zeros((), h2ef.dtype)
         for _ in range(n_iter):
             for c in colors:
-                nbr, cen = pk._nbr_sum(eu)
+                cen = eu[1:-1]
+                im = jnp.where(at_i1, jnp.where(npin0, zero, cen), eu[:-2])
+                ip = jnp.where(at_in, jnp.where(npin1, zero, cen), eu[2:])
+                jm = jnp.where(at_j1, cen, _roll(cen, 1, 1))
+                jp = jnp.where(at_jn, cen, _roll(cen, -1, 1))
+                km = jnp.where(at_k1, cen, _roll(cen, 1, 2))
+                kp = jnp.where(at_kn, cen, _roll(cen, -1, 2))
+                nbr = im + ip + jm + jp + km + kp
                 upd = (nbr - h2ef) * (1.0 / 6.0)
                 mid = jnp.where(masks[c], upd, cen)
                 eu = jnp.concatenate([eu[:1], mid, eu[-1:]], axis=0)
-                eu = _apply_bcs_slab(eu, g0, n, si, sj, sk, pin0, pin1)
-        return eu
+        # one BC pass so downstream kernels read valid boundary planes
+        return _apply_bcs_slab(eu, g0, n, si, sj, sk, pin0, pin1)
 
     return body
 
@@ -335,7 +366,8 @@ def mixed_prolong_smooth_fused(ec_pad, e_pad, r_pad, pin, h, n_iter, n,
                 corr.append(0.5 * (yc[base] + yc[base + 1]))
         corr = jnp.stack(corr, axis=0)
         eu = eu2[slot] + corr
-        eu = _apply_bcs_slab(eu, start, n, si, sj, sk, pin_ref[0], pin_ref[1])
+        # no BC pass needed before the folded smoother (it never reads
+        # boundary planes); rb's final in-body BC pass sets them
         eu = rb(eu, ef2[slot], start, pin_ref[0], pin_ref[1])
 
         @pl.when(i >= 2)
