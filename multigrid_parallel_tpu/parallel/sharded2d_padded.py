@@ -168,11 +168,12 @@ def _prolong_band_local_np(L: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _restrict_k_np(nf: int):
-    """(SKc, SKf) padded full-width 3-tap k restriction matrix."""
+def _restrict_k_np(nf: int, skf: int = 0, skc: int = 0):
+    """(SKc, SKf) padded full-width 3-tap k restriction matrix. skf/skc
+    override the widths (k-trim layout); 0 = full padded widths."""
     nc = (nf + 1) // 2
-    skf = pk.padded_shape(nf)[2]
-    skc = pk.padded_shape(nc)[2]
+    skf = skf or pk.padded_shape(nf)[2]
+    skc = skc or pk.padded_shape(nc)[2]
     m = np.zeros((skc, skf))
     for c in range(1, nc - 1):
         m[c, 2 * c - 1 : 2 * c + 2] = (0.25, 0.5, 0.25)
@@ -180,15 +181,22 @@ def _restrict_k_np(nf: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _prolong_k_np(nc: int):
-    """(SKf, SKc) padded full-width interpolation k matrix."""
+def _prolong_k_np(nc: int, skc: int = 0, skf: int = 0):
+    """(SKf, SKc) padded full-width interpolation k matrix; trim
+    layouts pass their widths (taps into dropped boundary cols vanish —
+    the coarse boundary value is zero)."""
     nf = 2 * nc - 1
-    skf = pk.padded_shape(nf)[2]
-    skc = pk.padded_shape(nc)[2]
+    skf = skf or pk.padded_shape(nf)[2]
+    skc = skc or pk.padded_shape(nc)[2]
     m = np.zeros((skf, skc))
-    m[2 * np.arange(nc), np.arange(nc)] = 1.0
-    m[2 * np.arange(nc - 1) + 1, np.arange(nc - 1)] = 0.5
-    m[2 * np.arange(nc - 1) + 1, np.arange(nc - 1) + 1] = 0.5
+    fine = 2 * np.arange(nc)
+    ok = fine < skf
+    m[fine[ok], np.arange(nc)[ok]] = 1.0
+    fo = 2 * np.arange(nc - 1) + 1
+    m[fo, np.arange(nc - 1)] = 0.5
+    hi = np.arange(nc - 1) + 1
+    ok = hi < skc
+    m[fo[ok], hi[ok]] = 0.5
     return m
 
 
@@ -196,7 +204,10 @@ def restrict_local2dp(res, n, plan, depth):
     """(Li, Lj, SK) residual -> (Li/2, Lj/2, SKc): k full-width padded
     matmul, i and j local band matmuls over 1-halo exchanges."""
     Li, Lj, _ = res.shape
-    skm = jnp.asarray(_restrict_k_np(n), res.dtype)
+    skm = jnp.asarray(
+        _restrict_k_np(n, res.shape[2], cp._coarse_k_width(n, res.shape[2])),
+        res.dtype,
+    )
     t = jnp.einsum("ck,ijk->ijc", skm, res, precision=ops3._HIGHEST)
     ej = _halo_ext_j(t, plan.axes[1], plan.ny, 1)
     bj = jnp.asarray(_restrict_band_local_np(Lj), res.dtype)
@@ -212,7 +223,7 @@ def restrict_local2dp(res, n, plan, depth):
 
 def prolong_correct_local2dp(ec, ef, nc, plan, depth):
     """ef += trilinear interp of ec (padded local blocks)."""
-    pkm = jnp.asarray(_prolong_k_np(nc), ec.dtype)
+    pkm = jnp.asarray(_prolong_k_np(nc, ec.shape[2], ef.shape[2]), ec.dtype)
     t = jnp.einsum("kc,ijc->ijk", pkm, ec, precision=ops3._HIGHEST)
     ej = jnp.concatenate(
         [t, jax.lax.ppermute(t[:, :1], plan.axes[1], _perm_bwd(plan.ny))],
@@ -360,7 +371,7 @@ def _build_local_cycle2d(
         # --- residual + restrict
         bi_r = px2.restrict2d_block_i(Li // 2, sje, sk) if pal else 0
         if bi_r:
-            skc = pk.padded_shape(nc)[2]
+            skc = cp._coarse_k_width(n, sk)
             rc = px2.residual_restrict_ext2d(
                 ext2(e, 2), ext2(r, 2), _gij0(plan, depth, 2), h, n,
                 Li // 2, Lj // 2, skc, block_i=bi_r,
@@ -440,15 +451,22 @@ def make_sharded2d_padded_df_solver(
     inner_cycles: int = 4,
     jnp_level_max: int = cp._JNP_LEVEL_MAX,
     block_i: int = 8,
+    trim: bool = False,
+    init_norm: float = None,
 ) -> Tuple[Callable, ShardPlan2D]:
     """run(u_hi, u_lo, f_hi, f_lo) -> (u_hi, u_lo, norm, n_outer): the
     2D-mesh twin of sharded_padded.make_sharded_df_solver — whole solve
     as ONE jitted lax.while_loop, fused EFT residual+norm 2D ext kernel
     (partials psummed over both axes), ``inner_cycles`` fused V-cycles
-    per defect step."""
+    per defect step. ``trim``: k-TRIM layout (pair with
+    setup_df_problem_sharded2d_padded(trim=True) + init_norm)."""
     import sys
 
     sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+
+    if trim and init_norm is None:
+        raise ValueError("trim layout needs the reference-convention "
+                         "init_norm (||f|| before the boundary fold)")
 
     ax_i, ax_j = mesh.axis_names
     nx, ny = mesh.devices.shape
@@ -461,7 +479,7 @@ def make_sharded2d_padded_df_solver(
     n = hier.sizes[level]
     h = hier.spacing(level)
     Li0, Lj0 = plan.local_i(0), plan.local_j(0)
-    sk = pk.padded_shape(n)[2]
+    sk = (pk.padded_shape_trim(n) if trim else pk.padded_shape(n))[2]
     sje = Lj0 + 2 * px2.HJ
 
     def residual_norm(u_hi, u_lo, f_hi, f_lo):
@@ -483,7 +501,10 @@ def make_sharded2d_padded_df_solver(
         return r, jnp.sqrt(jax.lax.psum(part, (ax_i, ax_j)))
 
     def local_fn(u_hi, u_lo, f_hi, f_lo):
-        init = jnp.sqrt(jax.lax.psum(jnp.sum(f_hi * f_hi), (ax_i, ax_j)))
+        if init_norm is not None:
+            init = jnp.asarray(init_norm, f32)
+        else:
+            init = jnp.sqrt(jax.lax.psum(jnp.sum(f_hi * f_hi), (ax_i, ax_j)))
         tol = jnp.asarray(rel_tol, f32) * init
 
         def body(state):
@@ -520,17 +541,31 @@ def make_sharded2d_padded_df_solver(
 
 
 def setup_df_problem_sharded2d_padded(problem, hier: Hierarchy, mesh: Mesh,
-                                      plan: ShardPlan2D):
+                                      plan: ShardPlan2D, trim: bool = False):
     """(u_hi, u_lo, f_hi, f_lo): double-float, lane-padded, (i, j)-padded
-    to (nx*Li, ny*Lj), placed with a NamedSharding over the mesh."""
+    to (nx*Li, ny*Lj), placed with a NamedSharding over the mesh.
+    ``trim``: k-TRIM layout (boundary fold, cycles_padded)."""
     from multigrid_parallel_tpu.cycles import setup_problem
 
-    u64, f64 = setup_problem(problem, hier)
     n = hier.finest_n
+    sh = NamedSharding(mesh, P(*plan.axes))
+
+    if trim:
+        parts = cp.setup_df_problem(problem, hier, trim=True)
+        _, sj, _ = pk.padded_shape_trim(n)
+        ipad = plan.padded_i(0) - n
+        jpad = plan.padded_j(0) - sj
+
+        def place(x):
+            return jax.device_put(
+                jnp.pad(x, ((0, ipad), (0, jpad), (0, 0))), sh)
+
+        return tuple(place(x) for x in parts)
+
+    u64, f64 = setup_problem(problem, hier)
     _, sj, _ = pk.padded_shape(n)
     ipad = plan.padded_i(0) - n
     jpad = plan.padded_j(0) - sj
-    sh = NamedSharding(mesh, P(*plan.axes))
 
     def prep(x64):
         hi, lo = pk.df_split(x64, pad=True)  # (n, SJ, SK)
@@ -546,3 +581,10 @@ def setup_df_problem_sharded2d_padded(problem, hier: Hierarchy, mesh: Mesh,
 def unpad_solution2d(u_hi, u_lo, hier: Hierarchy):
     n = hier.finest_n
     return pk.unpad3(pk.df_to_f64(u_hi, u_lo)[:n, :n], n)
+
+
+def untrim_solution2d(u_hi, u_lo, problem, hier: Hierarchy):
+    """2D-sharded TRIM df pair -> (n, n, n) f64 cube with the k-face
+    Dirichlet boundaries re-attached."""
+    n = hier.finest_n
+    return cp.untrim_solution(u_hi[:n], u_lo[:n], problem, hier)

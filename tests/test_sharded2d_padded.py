@@ -178,3 +178,35 @@ def test_sharded2d_padded_mesh_orientation_invariance():
         )
     assert outs[0][1] == outs[1][1]
     np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=0, atol=1e-10)
+
+
+def test_sharded2d_padded_trim_matches_full(mesh):
+    """k-TRIM through the 2D solver: same outer count, same solution."""
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)  # 33^3
+    cfg = CycleConfig(n_smooth=2)
+    prob = poisson_3d_quadratic()
+    init = cp.ref_init_norm(prob, hier)
+
+    plan = _plan(hier)
+    run_t, _ = s2p.make_sharded2d_padded_df_solver(
+        hier, cfg, mesh, plan, rel_tol=1e-8, inner_cycles=2,
+        jnp_level_max=9, block_i=4, trim=True, init_norm=init,
+    )
+    st_t = s2p.setup_df_problem_sharded2d_padded(prob, hier, mesh, plan,
+                                                 trim=True)
+    u_hi, u_lo, norm_t, it_t = run_t(*st_t)
+    u_t = s2p.untrim_solution2d(u_hi, u_lo, prob, hier)
+
+    run_f, _ = s2p.make_sharded2d_padded_df_solver(
+        hier, cfg, mesh, plan, rel_tol=1e-8, inner_cycles=2,
+        jnp_level_max=9, block_i=4,
+    )
+    st_f = s2p.setup_df_problem_sharded2d_padded(prob, hier, mesh, plan)
+    fu_hi, fu_lo, norm_f, it_f = run_f(*st_f)
+    u_f = s2p.unpad_solution2d(fu_hi, fu_lo, hier)
+    # full solution lacks re-attached boundary handling difference: both
+    # cover the full cube (full layout stores boundaries directly)
+    assert int(it_t) == int(it_f)
+    assert float(norm_t) <= 1e-8 * init
+    np.testing.assert_allclose(np.asarray(u_t), np.asarray(u_f),
+                               rtol=0, atol=1e-10)
