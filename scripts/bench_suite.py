@@ -320,6 +320,10 @@ path instead of Pallas launches:
 
 Each fused stage timed as its own jitted call, best-of-20, dispatch
 latency ({lat * 1e3:.2f} ms through the axon tunnel) subtracted.
+Rows much smaller than the latency (the ≤65³ stages, true cost
+~0.05 ms) are dispatch-jitter bound here — single-call timings cannot
+resolve them; the chain-slope measurements in docs/ROOFLINE.md are the
+accurate per-kernel numbers.
 
 | stage | ms |
 |---|---|
