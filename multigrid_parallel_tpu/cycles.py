@@ -47,7 +47,8 @@ class CycleConfig:
       CycleConfig-taking cycle: cycles._descend, the padded Pallas path
       (cycles_padded._make_descend), and the sharded paths (parallel/
       sharded.py via _recurse_sharded, parallel/sharded_padded.py).
-      MixedBCSolver takes n_smooth directly and runs V-cycles only.
+      MixedBCSolver takes its own gamma field directly (plus the
+      boundary-band options) rather than a CycleConfig.
     """
 
     n_smooth: int = 2

@@ -138,10 +138,11 @@ def _mixed_rb_body(h, n_iter, red_first, n, si, sj, sk):
 
 
 def mixed_block_i(n, sj, sk, n_iter, itemsize=4, requested=8):
-    """block_i for the mixed smoother stages, or 0."""
+    """block_i for the mixed smoother stages, or 0. Even bi only: the
+    prolong kernel's i-interpolation parity assumes even slab starts."""
     plane = sj * sk * itemsize
     for bi in (requested, 8, 4, 2):
-        if bi > requested:
+        if bi > requested or bi % 2:
             continue
         si = bi + 4 * n_iter
         est = 2 * 2 * si * plane + 4 * si * plane + 2 * bi * plane

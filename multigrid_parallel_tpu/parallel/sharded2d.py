@@ -445,6 +445,8 @@ def make_sharded2d_df_solver(
     outer defect step."""
     from multigrid_parallel_tpu.ops import pallas3d as pk
 
+    if mesh is None:
+        raise ValueError("mesh is required")
     ax_i, ax_j = mesh.axis_names
     if plan is None:
         plan = plan_sharding_2d(

@@ -41,6 +41,8 @@ from multigrid_parallel_tpu.ops import stencils_3d as ops3
 from multigrid_parallel_tpu.parallel.sharded import _perm_bwd, _perm_fwd
 from multigrid_parallel_tpu.parallel.sharded2d import (
     ShardPlan2D,
+    _prolong_band_local_np,
+    _restrict_band_local_np,
     make_mesh_2d,
 )
 
@@ -141,30 +143,6 @@ def residual_local2dp(e, r, h, n, plan, depth):
     res = r - inv_h2 * (_nbr_sum_2dp(e, plan) - 6.0 * e)
     mask = _local_masks2d(plan, depth, e.shape[0], e.shape[1], n, e.shape[2])
     return jnp.where(mask, res, jnp.zeros_like(res))
-
-
-@functools.lru_cache(maxsize=None)
-def _restrict_band_local_np(L: int):
-    """(L/2, L+2) 3-tap band onto a 1-halo-extended local axis."""
-    lc = L // 2
-    m = np.zeros((lc, L + 2))
-    for c in range(lc):
-        m[c, 2 * c : 2 * c + 3] = (0.25, 0.5, 0.25)
-    return m
-
-
-@functools.lru_cache(maxsize=None)
-def _prolong_band_local_np(L: int):
-    """(L, L/2+1) interpolation band onto a right-halo-extended axis."""
-    lc = L // 2
-    m = np.zeros((L, lc + 1))
-    for g in range(L):
-        if g % 2 == 0:
-            m[g, g // 2] = 1.0
-        else:
-            m[g, g // 2] = 0.5
-            m[g, g // 2 + 1] = 0.5
-    return m
 
 
 @functools.lru_cache(maxsize=None)
@@ -274,13 +252,17 @@ def _residual_df_norm_local2dp_jnp(u_hi, u_lo, f_hi, f_lo, h, n, plan):
 
 def _use_pallas2d(n, Li, Lj, H, jnp_level_max) -> bool:
     """Pallas needs the level big enough to pay the launch, i-halo
-    coverage, and a sublane-tile-aligned local j extent (fixed HJ=8
-    halo must also come from ONE neighbor: Lj >= 8)."""
+    coverage, and a sublane-tile-aligned local j extent. Lj >= 2*HJ:
+    the fixed HJ=8 fine halo must come from ONE neighbor, AND the
+    prolong stage's COARSE ext needs an HJ-column halo from the
+    Lj//2-wide coarse blocks (Lj == 8 would silently clamp the coarse
+    halo to 4 columns and shift the static band mapping — caught by
+    review, tests/test_sharded2d_padded.py::test_lj8_level_falls_back)."""
     return (
         n > jnp_level_max
         and Li >= max(H + 2, 4)
         and Lj % 8 == 0
-        and Lj >= 8
+        and Lj >= 2 * px2.HJ
     )
 
 
@@ -467,6 +449,8 @@ def make_sharded2d_padded_df_solver(
     if trim and init_norm is None:
         raise ValueError("trim layout needs the reference-convention "
                          "init_norm (||f|| before the boundary fold)")
+    if mesh is None:
+        raise ValueError("mesh is required")
 
     ax_i, ax_j = mesh.axis_names
     nx, ny = mesh.devices.shape

@@ -68,12 +68,44 @@ def apply_bcs_local(u, n: int, axis: str, pin0, pin1, vals0=None, vals1=None):
                      v1[None], u)
 
 
+def _band_mask_local(axis: str, L: int, n: int, w: int):
+    """Within-w-of-any-face mask for a local (L, n, n) block, GLOBAL i."""
+    g = _global_row(axis, L)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    return (
+        (g <= w) | (g >= n - 1 - w)
+        | (jj <= w) | (jj >= n - 1 - w)
+        | (kk <= w) | (kk >= n - 1 - w)
+    )
+
+
+def _band_half_sweep_local(u, f, h, color, n, axis, n_dev, w):
+    from multigrid_parallel_tpu.parallel.sharded import (
+        _halo_extend,
+        _masks,
+        _neighbor_sum_local,
+    )
+
+    ext = _halo_extend(u, axis, n_dev)
+    upd = (_neighbor_sum_local(ext, u) - (h * h) * f) * (1.0 / 6.0)
+    mask = _masks(axis, u.shape[0], n, color)
+    near = _band_mask_local(axis, u.shape[0], n, w)
+    return jnp.where(jnp.logical_and(mask, near), upd, u)
+
+
 def _mixed_smooth_local(u, f, h, n_iter, n, axis, n_dev, pin0, pin1,
-                        red_first=True, vals0=None, vals1=None):
+                        red_first=True, vals0=None, vals1=None,
+                        band_width=0, band_iters=0):
     colors = (ops3.RED, ops3.BLACK) if red_first else (ops3.BLACK, ops3.RED)
     for _ in range(n_iter):
         for c in colors:
             u = half_sweep_local(u, f, h, c, n, axis, n_dev)
+            u = apply_bcs_local(u, n, axis, pin0, pin1, vals0, vals1)
+    # extra boundary-band relaxation (MixedBCSolver._smooth semantics)
+    for _ in range(band_iters):
+        for c in colors:
+            u = _band_half_sweep_local(u, f, h, c, n, axis, n_dev, band_width)
             u = apply_bcs_local(u, n, axis, pin0, pin1, vals0, vals1)
     return u
 
@@ -85,7 +117,8 @@ def make_sharded_mixed_bc_cycle(
 ) -> Tuple[Callable, ShardPlan]:
     """jitted cycle(u_global_padded, f_global_padded) -> (u', norm):
     one mixed-BC V-cycle (W-cycle via solver.gamma) sharded along i.
-    Matches MixedBCSolver._cycle on a single device to roundoff."""
+    Matches MixedBCSolver._cycle on a single device to roundoff
+    (including solver.gamma and solver.boundary_band_* settings)."""
     hier = solver.hier
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
@@ -94,6 +127,7 @@ def make_sharded_mixed_bc_cycle(
     problem = solver.problem
     gamma = solver.gamma
     n_smooth = solver.n_smooth
+    bw, bits = solver.boundary_band_width, solver.boundary_band_iters
     dtype = hier.dtype
 
     pins = []
@@ -141,7 +175,8 @@ def make_sharded_mixed_bc_cycle(
 
         u = jnp.zeros_like(f_local) if e_init is None else e_init
         u = _mixed_smooth_local(u, f_local, h, n_smooth, nl, axis, n_dev,
-                                pin0, pin1, True)
+                                pin0, pin1, True, band_width=bw,
+                                band_iters=bits)
         r = residual_local(u, f_local, h, nl, axis, n_dev)
         fc = restrict_local(r, nl, axis, n_dev)
         ec = correction(fc, level - 1, depth + 1)
@@ -151,7 +186,8 @@ def make_sharded_mixed_bc_cycle(
         u = prolong_correct_local(ec, u, hier.sizes[level - 1], axis, n_dev)
         u = apply_bcs_local(u, nl, axis, pin0, pin1)
         u = _mixed_smooth_local(u, f_local, h, n_smooth, nl, axis, n_dev,
-                                pin0, pin1, False)
+                                pin0, pin1, False, band_width=bw,
+                                band_iters=bits)
         return u
 
     def _descend_rep(e, f, level):
@@ -166,13 +202,23 @@ def make_sharded_mixed_bc_cycle(
         def smooth(u, red_first):
             red, black, _ = ops3._masks_np(nl)
             first, second = (red, black) if red_first else (black, red)
+
+            def bc(u):
+                u = ops3.apply_neumann_copy(u)
+                u = u.at[0].set(jnp.where(pin0 > 0.5, 0.0, u[0]))
+                return u.at[nl - 1].set(jnp.where(pin1 > 0.5, 0.0,
+                                                  u[nl - 1]))
+
             for _ in range(n_smooth):
                 for cm in (first, second):
                     u = ops3._half_sweep(u, f, h, jnp.asarray(cm))
-                    u = ops3.apply_neumann_copy(u)
-                    u = u.at[0].set(jnp.where(pin0 > 0.5, 0.0, u[0]))
-                    u = u.at[nl - 1].set(jnp.where(pin1 > 0.5, 0.0,
-                                                   u[nl - 1]))
+                    u = bc(u)
+            if bits > 0:
+                near = MixedBCSolver._band_mask_np(nl, bw)
+                for _ in range(bits):
+                    for cm in (first, second):
+                        u = ops3._half_sweep(u, f, h, jnp.asarray(cm & near))
+                        u = bc(u)
             return u
 
         e = smooth(e, True)
@@ -196,7 +242,8 @@ def make_sharded_mixed_bc_cycle(
 
     def local_fn(u, f):
         u = _mixed_smooth_local(u, f, h, n_smooth, n, axis, n_dev,
-                                pin0, pin1, True, vals0, vals1)
+                                pin0, pin1, True, vals0, vals1,
+                                band_width=bw, band_iters=bits)
         r = residual_local(u, f, h, n, axis, n_dev)
         fc = restrict_local(r, n, axis, n_dev)
         ec = correction(fc, level - 1, 1)
@@ -206,7 +253,8 @@ def make_sharded_mixed_bc_cycle(
         u = prolong_correct_local(ec, u, hier.sizes[level - 1], axis, n_dev)
         u = apply_bcs_local(u, n, axis, pin0, pin1, vals0, vals1)
         u = _mixed_smooth_local(u, f, h, n_smooth, n, axis, n_dev,
-                                pin0, pin1, False, vals0, vals1)
+                                pin0, pin1, False, vals0, vals1,
+                                band_width=bw, band_iters=bits)
         r = residual_local(u, f, h, n, axis, n_dev)
         return u, jnp.sqrt(norm_sq_local(r, axis))
 

@@ -433,6 +433,8 @@ def make_sharded_df_solver(
     if trim and init_norm is None:
         raise ValueError("trim layout needs the reference-convention "
                          "init_norm (||f|| before the boundary fold)")
+    if mesh is None:
+        raise ValueError("mesh is required")
 
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size

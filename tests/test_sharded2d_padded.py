@@ -210,3 +210,30 @@ def test_sharded2d_padded_trim_matches_full(mesh):
     assert float(norm_t) <= 1e-8 * init
     np.testing.assert_allclose(np.asarray(u_t), np.asarray(u_f),
                                rtol=0, atol=1e-10)
+
+
+def test_lj8_level_falls_back():
+    """Regression (round-3 review): a Pallas-active level with Lj == 8
+    used to clamp the prolong stage's coarse j halo to 4 columns and
+    shift the static band mapping (39% error on a (2,4) mesh at 33^3).
+    The _use_pallas2d gate now requires Lj >= 2*HJ; the cycle must
+    match the single-chip cycle."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh_2d(2, 4)
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4, dtype=jnp.float32)
+    cfg = CycleConfig(n_smooth=2)
+    plan = s2p.plan_sharding_2d_padded(hier, 2, 4)
+    # depth-1 level (n=17) has Lj == 8 under this plan — the config
+    # that used to corrupt the correction
+    assert plan.local_j(1) == 8
+    r = _rand(31)
+    cyc_sh, _ = s2p.make_sharded2d_padded_cycle(
+        hier, cfg, mesh, plan, jnp_level_max=9, block_i=4
+    )
+    rg = _to_global(r, plan)
+    got = np.asarray(cyc_sh(jnp.zeros_like(rg), rg))[:N, :N, :N]
+    cyc1 = cp.make_padded_correction_cycle(hier, cfg, jnp_level_max=9)
+    want = np.asarray(pk.unpad3(cyc1(None, pk.pad3(r), from_zero=True), N))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-6 * scale)

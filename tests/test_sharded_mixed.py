@@ -58,3 +58,21 @@ def test_sharded_mixed_converges(mesh):
         if norm <= 1e-8 * init:
             break
     assert norm <= 1e-8 * init, norm
+
+
+def test_sharded_mixed_band_wcycle_matches_single_device(mesh):
+    """The production config (gamma=2 + boundary band) through the
+    sharded cycle equals the single-device cycle (round-3 review:
+    the band options used to be silently ignored)."""
+    prob = electrospray_problem()
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4, length=prob.length)
+    s = MixedBCSolver(prob, hier, n_smooth=2, gamma=2,
+                      boundary_band_width=2, boundary_band_iters=2)
+
+    cycle_n, plan = sm.make_sharded_mixed_bc_cycle(s, mesh)
+    un, fn = sm.setup_mixed_problem_sharded(s, mesh, plan)
+    u1, f1 = s.initial_state()
+    for it in range(3):
+        u1, n1 = s._cycle(u1, f1)
+        un, nn = cycle_n(un, fn)
+        assert float(nn) == pytest.approx(float(n1), rel=1e-10), it
