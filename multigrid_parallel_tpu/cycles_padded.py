@@ -32,11 +32,9 @@ from multigrid_parallel_tpu.ops import stencils_3d as ops3
 
 
 def _coarse_k_width(nf: int, skf: int) -> int:
-    """Coarse k width matching the fine layout (full vs k-trim)."""
-    nc = (nf + 1) // 2
-    if skf == pk.padded_shape_trim(nf)[2] and skf != pk.padded_shape(nf)[2]:
-        return pk.padded_shape_trim(nc)[2]
-    return pk.padded_shape(nc)[2]
+    """Coarse k width matching the fine layout (full vs k-trim) —
+    delegates to the single sniff in pallas3d.coarse_k_width."""
+    return pk.coarse_k_width(nf, skf)
 
 
 @functools.lru_cache(maxsize=None)

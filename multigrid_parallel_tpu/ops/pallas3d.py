@@ -92,6 +92,16 @@ def padded_shape_trim(n: int):
     return (n, _rup(n, 8), _rup(n - 1, 128))
 
 
+def coarse_k_width(n: int, sk: int) -> int:
+    """Coarse k width matching a fine layout's k width (full vs k-trim)
+    — the single definition of the trim-layout sniff (used by the
+    single-chip and sharded fused restricts and the XLA transfer ops)."""
+    nc = (n + 1) // 2
+    if sk == padded_shape_trim(n)[2] and sk != padded_shape(n)[2]:
+        return padded_shape_trim(nc)[2]
+    return padded_shape(nc)[2]
+
+
 def pad3(x: jnp.ndarray) -> jnp.ndarray:
     """(n,n,n) cube -> (n, rup8, rup128) zero-padded array."""
     n = x.shape[0]
@@ -852,9 +862,8 @@ def residual_restrict_fused_padded(
     width follows the input's layout (full or k-trim)."""
     nc = (n + 1) // 2
     _, sj, sk = u_pad.shape
-    ncp, sjc, skc = padded_shape(nc)
-    if sk == padded_shape_trim(n)[2] and sk != padded_shape(n)[2]:
-        skc = padded_shape_trim(nc)[2]
+    ncp, sjc, _ = padded_shape(nc)
+    skc = coarse_k_width(n, sk)
     bi = block_i
     si = 2 * bi + 3
     nb = pl.cdiv(nc, bi)

@@ -493,9 +493,8 @@ def residual_restrict_ext(u_ext, f_ext, gi0, h, n, Lc, block_i=8):
     input layout (full or k-trim)."""
     nc = (n + 1) // 2
     _, sj, sk = u_ext.shape
-    _, sjc, skc = pk.padded_shape(nc)
-    if sk == pk.padded_shape_trim(n)[2] and sk != pk.padded_shape(n)[2]:
-        skc = pk.padded_shape_trim(nc)[2]
+    _, sjc, _ = pk.padded_shape(nc)
+    skc = pk.coarse_k_width(n, sk)
     bi = block_i
     si = 2 * bi + 3
     L = u_ext.shape[0] - 4
