@@ -138,7 +138,8 @@ def _make_mixed_descend(
         else:
             rc = cp.restrict_padded(cp._residual_padded_jnp(e, r, h, n), n)
         ec = _recurse(rc, level - 1)
-        bi_p = pm.mixed_block_i(n, sj, sk, n_smooth, requested=block_i)
+        bi_p = pm.mixed_prolong_block_i(n, sj, sk, n_smooth,
+                                        requested=block_i)
         if bi_p:
             e = pm.mixed_prolong_smooth_fused(
                 ec, e, r, pin, h, n_smooth, n, block_i=bi_p)
@@ -175,6 +176,17 @@ def make_mixed_padded_df_solver(
     Pair with setup_mixed_df_problem; recover the solution with
     unpack_mixed_solution."""
     sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+
+    if getattr(solver, "boundary_band_iters", 0):
+        import warnings
+
+        warnings.warn(
+            "make_mixed_padded_df_solver honors gamma but NOT "
+            "boundary_band_width/iters — a solver configured with the "
+            "MIXED_BC.md band fix converges differently on this tier "
+            "than on solve_on_device (use gamma=2 W-cycles here)",
+            stacklevel=2,
+        )
 
     hier = solver.hier
     f32 = jnp.float32

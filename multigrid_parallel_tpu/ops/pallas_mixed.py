@@ -55,6 +55,13 @@ def dirichlet_pin_planes(problem, n: int, sj: int, sk: int):
     import numpy as np
 
     mask, _ = problem.boundary_masks(n)
+    # The fused kernels pin Dirichlet nodes only on the two x faces; a
+    # patch anywhere else would be silently treated as Neumann.
+    if np.any(np.asarray(mask)[1 : n - 1]):
+        raise ValueError(
+            "pallas_mixed supports Dirichlet patches on the i=0/i=n-1 "
+            "faces only; this problem has patch nodes on other faces"
+        )
     out = np.zeros((2, sj, sk), np.float32)
     out[0, :n, :n] = mask[0].astype(np.float32)
     out[1, :n, :n] = mask[n - 1].astype(np.float32)
@@ -146,6 +153,28 @@ def mixed_block_i(n, sj, sk, n_iter, itemsize=4, requested=8):
             continue
         si = bi + 4 * n_iter
         est = 2 * 2 * si * plane + 4 * si * plane + 2 * bi * plane
+        if est <= _VMEM_BUDGET and n >= si and pl.cdiv(n, bi) >= 2:
+            return bi
+    return 0
+
+
+def mixed_prolong_block_i(n, sj, sk, n_iter, itemsize=4, requested=8):
+    """block_i for mixed_prolong_smooth_fused, or 0. Its slabs are one
+    plane taller than the smoother's (si = bi + 4*n_iter + 1) and it
+    double-buffers a (sic, sjc, skc) coarse slab the smoother estimate
+    omits — budgeted separately so the planning margin stays honest."""
+    nc = (n + 1) // 2
+    _, sjc, skc = pk.padded_shape(nc)
+    skc = pk.coarse_k_width(n, sk)
+    plane = sj * sk * itemsize
+    planec = sjc * skc * itemsize
+    for bi in (requested, 8, 4, 2):
+        if bi > requested or bi % 2:
+            continue
+        si = bi + 4 * n_iter + 1
+        sic = (si + 1) // 2
+        est = (2 * 2 * si * plane + 4 * si * plane + 2 * bi * plane
+               + 2 * sic * planec)
         if est <= _VMEM_BUDGET and n >= si and pl.cdiv(n, bi) >= 2:
             return bi
     return 0

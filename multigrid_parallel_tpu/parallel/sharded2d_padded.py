@@ -250,19 +250,24 @@ def _residual_df_norm_local2dp_jnp(u_hi, u_lo, f_hi, f_lo, h, n, plan):
 # ----------------------------------------------------- cycle + solver
 
 
-def _use_pallas2d(n, Li, Lj, H, jnp_level_max) -> bool:
+def _use_pallas2d(n, Li, Lj, H, jnp_level_max, min_lj=None) -> bool:
     """Pallas needs the level big enough to pay the launch, i-halo
-    coverage, and a sublane-tile-aligned local j extent. Lj >= 2*HJ:
-    the fixed HJ=8 fine halo must come from ONE neighbor, AND the
-    prolong stage's COARSE ext needs an HJ-column halo from the
-    Lj//2-wide coarse blocks (Lj == 8 would silently clamp the coarse
-    halo to 4 columns and shift the static band mapping — caught by
-    review, tests/test_sharded2d_padded.py::test_lj8_level_falls_back)."""
+    coverage, and a sublane-tile-aligned local j extent. The default
+    min_lj = 2*HJ covers the CYCLE kernels: the fixed HJ=8 fine halo
+    must come from ONE neighbor, AND the prolong stage's COARSE ext
+    needs an HJ-column halo from the Lj//2-wide coarse blocks (Lj == 8
+    would silently clamp the coarse halo to 4 columns and shift the
+    static band mapping — caught by review,
+    tests/test_sharded2d_padded.py::test_lj8_level_falls_back).
+    Kernels with no coarse ext (the residual_df norm step) pass
+    min_lj=px2.HJ: they need only the fine one-neighbor halo."""
+    if min_lj is None:
+        min_lj = 2 * px2.HJ
     return (
         n > jnp_level_max
         and Li >= max(H + 2, 4)
         and Lj % 8 == 0
-        and Lj >= 2 * px2.HJ
+        and Lj >= min_lj
     )
 
 
@@ -468,7 +473,10 @@ def make_sharded2d_padded_df_solver(
 
     def residual_norm(u_hi, u_lo, f_hi, f_lo):
         bi = px2.ext2d_block_i(Li0, sje, sk, 1, 4, requested=block_i)
-        if bi and n > jnp_level_max and Lj0 % 8 == 0:
+        # min_lj=HJ: this kernel needs only the fine one-neighbor halo
+        # (no coarse ext), hence the looser bound vs the cycle kernels.
+        if bi and _use_pallas2d(n, Li0, Lj0, 1, jnp_level_max,
+                                min_lj=px2.HJ):
             def ext2(x):
                 return _halo_ext_j(
                     _halo_ext_i(x, ax_i, plan.nx, 1), ax_j, plan.ny, px2.HJ
