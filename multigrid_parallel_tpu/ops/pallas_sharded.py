@@ -673,3 +673,494 @@ def prolong_smooth_ext(ec_ext, e_ext, r_ext, gi0, h, n_iter, n, L, block_i=8):
         interpret=_interpret(),
     )
     return _go_no_x64(call)(gi0, ec_ext, e_ext, r_ext)
+
+
+# ---------------- halo-DMA variants (no ext-array materialization) ----
+# The ext kernels above read a caller-materialized (L + 2*halo) extended
+# copy — one full extra HBM write+read of every stream per stage (the
+# measured 1.14-1.26x distributed tax, docs/SCALING.md). These variants
+# take the LOCAL array plus two SMALL ppermuted halo buffers and stitch
+# each slab from up to three sources with static-length DMAs instead:
+#   head rows: left-halo buffer (first block) or the local array itself
+#   mid  rows: always the local array
+#   tail rows: right-halo buffer (last block) or the local array
+# Eligibility (halo_ok): bi must divide L (so block starts are exact)
+# and bi >= the stage halo (so only the edge blocks touch the buffers).
+# Callers fall back to the ext path otherwise.
+
+
+def halo_ok(L: int, bi: int, halo: int) -> bool:
+    return bi > 0 and L % bi == 0 and bi >= halo
+
+
+def _tri_dma(local, lh, rh, dst, sem3, first, last, kl, mid, kr, lmid,
+             do_start):
+    """Assemble ``dst`` slab rows [0,kl)+[kl,kl+mid)+[kl+mid,+kr) from
+    (lh | local[lmid-kl:]) + local[lmid:] + (rh | local[lmid+mid:]).
+    All lengths static; ``do_start``: start() the copies, else wait()
+    (the waits reconstruct the same copies under the same predicates)."""
+
+    def op(c):
+        c.start() if do_start else c.wait()
+
+    if kl:
+        @pl.when(first)
+        def _():
+            op(pltpu.make_async_copy(
+                lh.at[pl.ds(0, kl)], dst.at[pl.ds(0, kl)], sem3.at[0]))
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            op(pltpu.make_async_copy(
+                local.at[pl.ds(lmid - kl, kl)], dst.at[pl.ds(0, kl)],
+                sem3.at[0]))
+    op(pltpu.make_async_copy(
+        local.at[pl.ds(lmid, mid)], dst.at[pl.ds(kl, mid)], sem3.at[1]))
+    if kr:
+        @pl.when(last)
+        def _():
+            op(pltpu.make_async_copy(
+                rh.at[pl.ds(0, kr)], dst.at[pl.ds(kl + mid, kr)],
+                sem3.at[2]))
+
+        @pl.when(jnp.logical_not(last))
+        def _():
+            op(pltpu.make_async_copy(
+                local.at[pl.ds(lmid + mid, kr)], dst.at[pl.ds(kl + mid, kr)],
+                sem3.at[2]))
+
+
+def _make_halo_kernel(L, si, sj, sk, bi, halo, nb, n_in, body,
+                      with_norm=False):
+    """The _make_ext_kernel template with tri-source halo DMA: inputs
+    are n_in (local, lh, rh) triples; requires halo_ok(L, bi, halo).
+    ``body(slabs, g0, ob)`` -> out_slab (with_norm: (out_slab, part))."""
+
+    def in_tri(hbms, ins2, sem_i, v, slot, blk, do_start):
+        _tri_dma(hbms[3 * v], hbms[3 * v + 1], hbms[3 * v + 2],
+                 ins2.at[v, slot], sem_i.at[v, slot],
+                 blk == 0, blk == nb - 1, halo, bi, halo, blk * bi,
+                 do_start)
+
+    def out_dma(out_hbm, tile2, sem_o, slot, blk):
+        return pltpu.make_async_copy(
+            tile2.at[slot], out_hbm.at[pl.ds(blk * bi, bi)], sem_o.at[slot]
+        )
+
+    def kernel(gi0_ref, *refs):
+        hbms = refs[: 3 * n_in]
+        out_hbm = refs[3 * n_in]
+        idx = 3 * n_in + 1
+        if with_norm:
+            nrm_ref = refs[idx]
+            idx += 1
+        ins2, tile2 = refs[idx], refs[idx + 1]
+        idx += 2
+        if with_norm:
+            acc_ref = refs[idx]
+            idx += 1
+        sem_i, sem_o = refs[idx], refs[idx + 1]
+
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            for v in range(n_in):
+                in_tri(hbms, ins2, sem_i, v, slot, i, True)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for v in range(n_in):
+                in_tri(hbms, ins2, sem_i, v, nslot, i + 1, True)
+
+        for v in range(n_in):
+            in_tri(hbms, ins2, sem_i, v, slot, i, False)
+
+        ob = i * bi
+        g0 = gi0_ref[0] + ob
+        if with_norm:
+            out_slab, part = body([ins2[v, slot] for v in range(n_in)],
+                                  g0, ob)
+
+            @pl.when(i == 0)
+            def _():
+                acc_ref[0, 0] = jnp.zeros((), ins2.dtype)
+
+            acc_ref[0, 0] = acc_ref[0, 0] + part
+
+            @pl.when(i == nb - 1)
+            def _():
+                nrm_ref[0, 0] = acc_ref[0, 0]
+        else:
+            out_slab = body([ins2[v, slot] for v in range(n_in)], g0, ob)
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i - 2).wait()
+
+        ins2[0, slot] = out_slab  # staging for the ds-read
+        tile2[slot] = ins2[0, slot, pl.ds(halo, bi)]
+        out_dma(out_hbm, tile2, sem_o, slot, i).start()
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i).wait()
+
+        @pl.when(jnp.logical_and(i == nb - 1, nb >= 2))
+        def _():
+            out_dma(out_hbm, tile2, sem_o, nslot, i - 1).wait()
+
+    return kernel
+
+
+def _halo_call(kernel, n_in, L, si, sj, sk, bi, halo, dtype,
+               with_norm=False):
+    out_shape = [jax.ShapeDtypeStruct((L, sj, sk), dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if with_norm:
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), dtype))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    scratch = [
+        pltpu.VMEM((n_in, 2, si, sj, sk), dtype),
+        pltpu.VMEM((2, bi, sj, sk), dtype),
+    ]
+    if with_norm:
+        scratch.append(pltpu.SMEM((1, 1), dtype))
+    scratch += [
+        pltpu.SemaphoreType.DMA((n_in, 2, 3)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    call = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(L, bi),),
+        out_shape=tuple(out_shape) if with_norm else out_shape[0],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (3 * n_in),
+        out_specs=tuple(out_specs) if with_norm else out_specs[0],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+    return _go_no_x64(call)
+
+
+def rb_smooth_halo(u3, f3, gi0, h, n_iter, n, L, red_first=True, block_i=8):
+    """rb_smooth_ext without the ext copy: u3/f3 = (local, lh, rh) with
+    ``2*n_iter``-plane halo buffers. Requires halo_ok(L, block_i, 2*n_iter)."""
+    _, sj, sk = u3[0].shape
+    hh = 2 * n_iter
+    rb = _rb_body(h, n_iter, red_first)
+    si = block_i + 2 * hh
+
+    def body(slabs, g0, ob):
+        eu, ef = slabs
+        interior, parity = _slab_masks(n, si, sj, sk, g0)
+        return rb(eu, ef, interior, parity)
+
+    nb = pl.cdiv(L, block_i)
+    kernel = _make_halo_kernel(L, si, sj, sk, block_i, hh, nb, 2, body)
+    return _halo_call(kernel, 2, L, si, sj, sk, block_i, hh, u3[0].dtype)(
+        gi0, *u3, *f3
+    )
+
+
+def rb_smooth_from_zero_halo(f3, gi0, h, n_iter, n, L, red_first=True,
+                             block_i=8):
+    """rb_smooth_halo with an implicit zero initial guess."""
+    _, sj, sk = f3[0].shape
+    hh = 2 * n_iter
+    rb = _rb_body(h, n_iter, red_first)
+    si = block_i + 2 * hh
+
+    def body(slabs, g0, ob):
+        (ef,) = slabs
+        interior, parity = _slab_masks(n, si, sj, sk, g0)
+        return rb(jnp.zeros_like(ef), ef, interior, parity)
+
+    nb = pl.cdiv(L, block_i)
+    kernel = _make_halo_kernel(L, si, sj, sk, block_i, hh, nb, 1, body)
+    return _halo_call(kernel, 1, L, si, sj, sk, block_i, hh, f3[0].dtype)(
+        gi0, *f3
+    )
+
+
+def residual_df_norm_halo(uhi3, ulo3, fhi3, flo3, gi0, h, n, L, block_i=8):
+    """residual_df_norm_ext without the ext copies (1-plane halo
+    buffers). Returns (r_local, partial ||r||^2)."""
+    _, sj, sk = uhi3[0].shape
+    inv_h2 = 1.0 / (h * h)
+    bi = block_i
+    si = bi + 2
+    nb = pl.cdiv(L, bi)
+
+    def body(slabs, g0, ob):
+        u_hi, u_lo, f_hi, f_lo = slabs
+        interior, _ = _slab_masks(n, si, sj, sk, g0)
+
+        def slab_nbrs(e):
+            x = e[1:-1]
+            return x, [
+                e[:-2], e[2:],
+                _roll(x, 1, 1), _roll(x, -1, 1),
+                _roll(x, 1, 2), _roll(x, -1, 2),
+            ]
+
+        hi_c, hi_n = slab_nbrs(u_hi)
+        lo_c, lo_n = slab_nbrs(u_lo)
+        r = _eft_residual(f_hi[1:-1], f_lo[1:-1], hi_c, hi_n, lo_c, lo_n,
+                          inv_h2)
+        z = jnp.zeros((1, sj, sk), r.dtype)
+        r = jnp.concatenate([z, r, z], axis=0)
+        r = jnp.where(interior, r, jnp.zeros_like(r))
+        ll = jax.lax.broadcasted_iota(jnp.int32, (si, 1, 1), 0) + ob - 1
+        owned = (ll >= ob) & (ll < ob + bi)
+        part = jnp.sum(jnp.where(owned, r * r, jnp.zeros_like(r)))
+        return r, part
+
+    kernel = _make_halo_kernel(L, si, sj, sk, bi, 1, nb, 4, body,
+                               with_norm=True)
+    r, nrm2 = _halo_call(kernel, 4, L, si, sj, sk, bi, 1, uhi3[0].dtype,
+                         with_norm=True)(gi0, *uhi3, *ulo3, *fhi3, *flo3)
+    return r, nrm2[0, 0]
+
+
+def residual_restrict_halo(u3, f3, gi0, h, n, Lc, block_i=8):
+    """residual_restrict_ext without the ext copies: fine slab of block
+    b is stitched as head 2 rows (lh | local), mid 2*bi rows, tail 1 row
+    (rh | local). Requires block_i | Lc. lh = 2 left planes, rh = 1
+    right plane."""
+    nc = (n + 1) // 2
+    L2, sj, sk = u3[0].shape
+    _, sjc, _ = pk.padded_shape(nc)
+    skc = pk.coarse_k_width(n, sk)
+    bi = block_i
+    si = 2 * bi + 3
+    nb = pl.cdiv(Lc, bi)
+    inv_h2 = 1.0 / (h * h)
+
+    def in_tri(hbms, ins2, sem_i, v, slot, blk, do_start):
+        _tri_dma(hbms[3 * v], hbms[3 * v + 1], hbms[3 * v + 2],
+                 ins2.at[v, slot], sem_i.at[v, slot],
+                 blk == 0, blk == nb - 1, 2, 2 * bi, 1, 2 * blk * bi,
+                 do_start)
+
+    def out_dma(out_hbm, tile2, sem_o, slot, blk):
+        return pltpu.make_async_copy(
+            tile2.at[slot], out_hbm.at[pl.ds(blk * bi, bi)], sem_o.at[slot]
+        )
+
+    def kernel(gi0_ref, *refs):
+        hbms = refs[:6]
+        out_hbm = refs[6]
+        ins2, tile2, sem_i, sem_o = refs[7:]
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            for v in range(2):
+                in_tri(hbms, ins2, sem_i, v, slot, i, True)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for v in range(2):
+                in_tri(hbms, ins2, sem_i, v, nslot, i + 1, True)
+
+        for v in range(2):
+            in_tri(hbms, ins2, sem_i, v, slot, i, False)
+
+        ob = i * bi
+        g0 = gi0_ref[0] + 2 * ob
+        eu = ins2[0, slot]
+        ef = ins2[1, slot]
+        interior, _ = _slab_masks(n, si, sj, sk, g0)
+        nbr, cen = pk._nbr_sum(eu)
+        rr = ef[1:-1] - inv_h2 * (nbr - 6.0 * cen)
+        rr = jnp.where(interior[1:-1], rr, jnp.zeros_like(rr))
+
+        dtype = rr.dtype
+        aj = _band_matrix(sjc, sj, nc - 2, dtype)
+        ak_t = _band_matrix(skc, sk, nc - 2, dtype).T
+        jj = jax.lax.broadcasted_iota(jnp.int32, (sjc, skc), 0)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (sjc, skc), 1)
+        colmask = (jj >= 1) & (jj <= nc - 2) & (kk >= 1) & (kk <= nc - 2)
+        gc0 = (gi0_ref[0] + 2) // 2 + ob
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i - 2).wait()
+
+        for t in range(bi):
+            plane = 0.25 * rr[2 * t] + 0.5 * rr[2 * t + 1] + 0.25 * rr[2 * t + 2]
+            y = jnp.dot(aj, plane, precision=jax.lax.Precision.HIGHEST)
+            z = jnp.dot(y, ak_t, precision=jax.lax.Precision.HIGHEST)
+            row_g = gc0 + t
+            ok = jnp.logical_and(row_g >= 1, row_g <= nc - 2)
+            tile2[slot, t] = jnp.where(
+                jnp.logical_and(ok, colmask), z, jnp.zeros_like(z)
+            )
+
+        out_dma(out_hbm, tile2, sem_o, slot, i).start()
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i).wait()
+
+        @pl.when(jnp.logical_and(i == nb - 1, nb >= 2))
+        def _():
+            out_dma(out_hbm, tile2, sem_o, nslot, i - 1).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((Lc, sjc, skc), u3[0].dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, si, sj, sk), u3[0].dtype),
+            pltpu.VMEM((2, bi, sjc, skc), u3[0].dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+    return _go_no_x64(call)(gi0, *u3, *f3)
+
+
+def prolong_smooth_halo(ec3, e3, r3, gi0, h, n_iter, n, L, block_i=8):
+    """prolong_smooth_ext without the ext copies. Fine streams carry
+    H = 2*n_iter halo buffers; the coarse stream lh has n_iter planes
+    and rh n_iter+1. Requires halo_ok(L, block_i, H) and block_i >= H+2
+    (the coarse tail of non-last blocks must stay local)."""
+    nc = (n + 1) // 2
+    _, sj, sk = e3[0].shape
+    Lc2, sjc, skc = ec3[0].shape
+    bi = block_i
+    H = 2 * n_iter
+    si = bi + 2 * H
+    sic = si // 2 + 1
+    nb = pl.cdiv(L, bi)
+    h2 = h * h
+
+    def in_tri_fine(hbms, ins2, sem_i, v, slot, blk, do_start):
+        _tri_dma(hbms[3 * v], hbms[3 * v + 1], hbms[3 * v + 2],
+                 ins2.at[v, slot], sem_i.at[v, slot],
+                 blk == 0, blk == nb - 1, H, bi, H, blk * bi, do_start)
+
+    def in_tri_coarse(hbms, ec2, sem_c, slot, blk, do_start):
+        # coarse slab rows: head n_iter + mid bi//2 + tail n_iter+1 = sic
+        _tri_dma(hbms[0], hbms[1], hbms[2],
+                 ec2.at[slot], sem_c.at[slot],
+                 blk == 0, blk == nb - 1, n_iter, bi // 2, n_iter + 1,
+                 blk * bi // 2, do_start)
+
+    def out_dma(out_hbm, tile2, sem_o, slot, blk):
+        return pltpu.make_async_copy(
+            tile2.at[slot], out_hbm.at[pl.ds(blk * bi, bi)], sem_o.at[slot]
+        )
+
+    def kernel(gi0_ref, *refs):
+        chbms = refs[:3]
+        fhbms = refs[3:9]
+        out_hbm = refs[9]
+        ins2, ec2, tile2, sem_i, sem_c, sem_o = refs[10:]
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            for v in range(2):
+                in_tri_fine(fhbms, ins2, sem_i, v, slot, i, True)
+            in_tri_coarse(chbms, ec2, sem_c, slot, i, True)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for v in range(2):
+                in_tri_fine(fhbms, ins2, sem_i, v, nslot, i + 1, True)
+            in_tri_coarse(chbms, ec2, sem_c, nslot, i + 1, True)
+
+        for v in range(2):
+            in_tri_fine(fhbms, ins2, sem_i, v, slot, i, False)
+        in_tri_coarse(chbms, ec2, sem_c, slot, i, False)
+
+        ob = i * bi
+        g0 = gi0_ref[0] + ob
+        dtype = ins2.dtype
+        pj = _prolong_band_j(sj, sjc, dtype)
+        pkt = _prolong_band_kt(skc, sk, dtype)
+
+        yc = []
+        for c in range(sic):
+            y = jnp.dot(pj, ec2[slot, c], precision=jax.lax.Precision.HIGHEST)
+            yc.append(jnp.dot(y, pkt, precision=jax.lax.Precision.HIGHEST))
+        corr = []
+        for q in range(si):
+            if q % 2 == 0:
+                corr.append(yc[q // 2])
+            else:
+                corr.append(0.5 * (yc[q // 2] + yc[q // 2 + 1]))
+        corr = jnp.stack(corr, axis=0)
+        eu = ins2[0, slot] + corr
+
+        interior, parity = _slab_masks(n, si, sj, sk, g0)
+        ef = ins2[1, slot]
+        masks = {c: interior[1:-1] & (parity[1:-1] == c)
+                 for c in (pk.BLACK, pk.RED)}
+        h2ef = h2 * ef[1:-1]
+        for _ in range(n_iter):
+            for c in (pk.BLACK, pk.RED):  # postSmoother order
+                nbr, cen = pk._nbr_sum(eu)
+                upd = (nbr - h2ef) * (1.0 / 6.0)
+                mid = jnp.where(masks[c], upd, cen)
+                eu = jnp.concatenate([eu[:1], mid, eu[-1:]], axis=0)
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i - 2).wait()
+
+        ins2[0, slot] = eu
+        tile2[slot] = ins2[0, slot, pl.ds(H, bi)]
+        out_dma(out_hbm, tile2, sem_o, slot, i).start()
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i).wait()
+
+        @pl.when(jnp.logical_and(i == nb - 1, nb >= 2))
+        def _():
+            out_dma(out_hbm, tile2, sem_o, nslot, i - 1).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((L, sj, sk), e3[0].dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 9,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, si, sj, sk), e3[0].dtype),
+            pltpu.VMEM((2, sic, sjc, skc), e3[0].dtype),
+            pltpu.VMEM((2, bi, sj, sk), e3[0].dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+    return _go_no_x64(call)(gi0, *ec3, *e3, *r3)

@@ -69,6 +69,17 @@ def _gi0(axis: str, L: int, halo: int):
     return g.astype(jnp.int32).reshape(1)
 
 
+def _halo_parts(x, axis: str, n_dev: int, kl: int, kr: int):
+    """(x, lh, rh) for the halo-DMA kernels (ops.pallas_sharded
+    *_halo): ONLY the kl/kr edge planes are ppermuted — the body is
+    read in-kernel straight from the local array, eliminating the
+    (L+2H)-plane extended copy _halo_ext materializes per stage (the
+    round-3 1.14-1.26x distributed tax, docs/SCALING.md)."""
+    lh = jax.lax.ppermute(x[-kl:], axis, _perm_fwd(n_dev))
+    rh = jax.lax.ppermute(x[:kr], axis, _perm_bwd(n_dev))
+    return (x, lh, rh)
+
+
 # ------------------------------- jnp fallback local ops (padded layout)
 # Small levels (or tiny local plane counts) skip Pallas launches, like
 # cycles_padded's jnp_level_max dispatch; masks use GLOBAL indices.
@@ -273,7 +284,22 @@ def _build_local_cycle(
 
         # --- pre-smooth (red-first)
         bi_s = px.ext_block_i(L, sj, sk, H, 2, requested=block_i) if pal else 0
-        if bi_s:
+        if bi_s and px.halo_ok(L, bi_s, H):
+            # halo-DMA tier: only the H edge planes travel; the body is
+            # read in-kernel from the local array (no ext copy)
+            g = _gi0(axis, L, H)
+            if from_zero:
+                e = px.rb_smooth_from_zero_halo(
+                    _halo_parts(r, axis, n_dev, H, H), g, h, n_smooth, n, L,
+                    red_first=True, block_i=bi_s,
+                )
+            else:
+                e = px.rb_smooth_halo(
+                    _halo_parts(e, axis, n_dev, H, H),
+                    _halo_parts(r, axis, n_dev, H, H),
+                    g, h, n_smooth, n, L, red_first=True, block_i=bi_s,
+                )
+        elif bi_s:
             g = _gi0(axis, L, H)
             if from_zero:
                 e = px.rb_smooth_from_zero_ext(
@@ -292,7 +318,13 @@ def _build_local_cycle(
 
         # --- residual + restrict
         bi_r = px.restrict_ext_block_i(L // 2, sj, sk) if pal else 0
-        if bi_r:
+        if bi_r and (L // 2) % bi_r == 0:
+            rc = px.residual_restrict_halo(
+                _halo_parts(e, axis, n_dev, 2, 1),
+                _halo_parts(r, axis, n_dev, 2, 1),
+                _gi0(axis, L, 2), h, n, L // 2, block_i=bi_r,
+            )
+        elif bi_r:
             rc = px.residual_restrict_ext(
                 _halo_ext(e, axis, n_dev, 2), _halo_ext(r, axis, n_dev, 2),
                 _gi0(axis, L, 2), h, n, L // 2, block_i=bi_r,
@@ -312,7 +344,14 @@ def _build_local_cycle(
         # --- prolong + correct + post-smooth (black-first)
         bi_p = px.prolong_ext_block_i(L, sj, sk, n_smooth,
                                       requested=block_i) if pal else 0
-        if bi_p:
+        if bi_p and px.halo_ok(L, bi_p, H) and bi_p >= H + 2:
+            e = px.prolong_smooth_halo(
+                _halo_parts(ec, axis, n_dev, n_smooth, n_smooth + 1),
+                _halo_parts(e, axis, n_dev, H, H),
+                _halo_parts(r, axis, n_dev, H, H),
+                _gi0(axis, L, H), h, n_smooth, n, L, block_i=bi_p,
+            )
+        elif bi_p:
             hc = H // 2 + 1
             e = px.prolong_smooth_ext(
                 _halo_ext(ec, axis, n_dev, hc), _halo_ext(e, axis, n_dev, H),
@@ -451,7 +490,13 @@ def make_sharded_df_solver(
 
     def residual_norm(u_hi, u_lo, f_hi, f_lo):
         bi = px.ext_block_i(L0, sj, sk, 1, 4, requested=block_i)
-        if bi and n > jnp_level_max:
+        if bi and n > jnp_level_max and px.halo_ok(L0, bi, 1):
+            parts = [_halo_parts(a, axis, n_dev, 1, 1)
+                     for a in (u_hi, u_lo, f_hi, f_lo)]
+            r, part = px.residual_df_norm_halo(
+                *parts, _gi0(axis, L0, 1), h, n, L0, block_i=bi
+            )
+        elif bi and n > jnp_level_max:
             exts = [_halo_ext(a, axis, n_dev, 1)
                     for a in (u_hi, u_lo, f_hi, f_lo)]
             r, part = px.residual_df_norm_ext(
