@@ -6,15 +6,21 @@ tolerance 1e-8 against ||f||_2 — BASELINE.md measures the C/OpenMP code at
 10.74 s wall / ~113 Mlattice-updates/s on 4 CPU threads).
 
 Solver under test: the all-f32 double-float performance path — fused
-Pallas smoother/residual kernels inside an f32 correction V-cycle
-(k-TRIM padded lane layout: the high-k boundary is folded into the RHS
-and its lane dropped, 256 instead of 384 lanes at 257^3 — 2/3 the HBM
-traffic and computed points of every kernel, measured 1.16x
-whole-solve), wrapped in a defect-correction outer loop whose solution
-is a two-f32 double-float pair and whose residual is a compensated
+Pallas smoother/residual kernels inside an f32 correction V-cycle,
+wrapped in a defect-correction outer loop whose solution is a two-f32
+double-float pair and whose residual is a compensated
 (error-free-transformation) Pallas kernel. No f64 ops anywhere on
 device; the whole solve is one jitted lax.while_loop. Accuracy matches
 the f64 path (solution error 2.1e-9 vs the analytic oracle at 257^3).
+
+Layout (round 4): the finest level runs SPLIT-COLOR — each field is a
+red/black pair with k compressed to the interior planes (half the
+k-TRIM stage's computed points at equal HBM traffic; transfer k-taps
+become lane rolls — cycles_split). Coarser levels stay on the k-TRIM
+rect layout (high-k boundary folded into the RHS, 2/3 the full-layout
+lanes). Measured 257^3 same-session: split 0.0570 s vs trim 0.0615 s
+wall. Falls back to the trim solver when the split tier is unavailable
+at the requested size.
 
 Metric: time-to-solution (best-of-repeats wall seconds); vs_baseline =
 baseline wall 10.74 s / our wall. The derived smoother throughput in
@@ -52,26 +58,35 @@ def run(levels: int = 7, n_smooth: int = 2, repeats: int = 6,
     cfg = mg.CycleConfig(n_smooth=n_smooth)
     problem = mg.poisson_3d_quadratic()
 
+    from multigrid_parallel_tpu import cycles_split as cs
     from multigrid_parallel_tpu.cycles_padded import ref_init_norm
 
     init = ref_init_norm(problem, hier)
-    solver = make_on_device_df_solver(
-        hier, cfg, rel_tol=REL_TOL, max_cycles=40,
-        inner_cycles=inner_cycles, use_fmg=use_fmg,
-        trim=True, init_norm=init,
-    )
-    u_hi, u_lo, f_hi, f_lo = setup_df_problem(problem, hier, trim=True)
+    use_split = not use_fmg and cs.split_available(hier, cfg.n_smooth)
+    if use_split:
+        solver = cs.make_split_df_solver(
+            hier, cfg, rel_tol=REL_TOL, max_cycles=40,
+            inner_cycles=inner_cycles, init_norm=init,
+        )
+        args = cs.setup_split_df_problem(problem, hier)
+    else:
+        solver = make_on_device_df_solver(
+            hier, cfg, rel_tol=REL_TOL, max_cycles=40,
+            inner_cycles=inner_cycles, use_fmg=use_fmg,
+            trim=True, init_norm=init,
+        )
+        args = setup_df_problem(problem, hier, trim=True)
 
     # Warm-up: compile + one full solve.
-    _, _, norm, n_outer = solver(u_hi, u_lo, f_hi, f_lo)
-    norm, n_outer = float(norm), int(n_outer)
+    out = solver(*args)
+    norm, n_outer = float(out[-2]), int(out[-1])
     assert norm <= REL_TOL * init, (norm, init)
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        _, _, norm_d, it_d = solver(u_hi, u_lo, f_hi, f_lo)
-        norm, n_outer = float(norm_d), int(it_d)  # host sync
+        out = solver(*args)
+        norm, n_outer = float(out[-2]), int(out[-1])  # host sync
         times.append(time.perf_counter() - t0)
     best = min(times)
     median = statistics.median(times)
@@ -127,6 +142,7 @@ def run(levels: int = 7, n_smooth: int = 2, repeats: int = 6,
             "final_residual": norm,
             "initial_residual": init,
             "grid": f"{n}^3",
+            "layout": "split-color" if use_split else "k-trim",
             "n_smooth": n_smooth,
             "baseline_wall_time_s": 10.74,
             "backend": jax.default_backend(),

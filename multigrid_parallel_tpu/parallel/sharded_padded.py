@@ -69,6 +69,16 @@ def _gi0(axis: str, L: int, halo: int):
     return g.astype(jnp.int32).reshape(1)
 
 
+def _halo_bi(bi0: int, L: int, min_halo: int = 0) -> int:
+    """Largest block_i <= bi0 that divides L (and covers min_halo) — the
+    halo-DMA kernels need exact block starts; a smaller dividing block
+    beats falling back to the ext-materializing path."""
+    for bi in (bi0, 16, 8, 4, 2):
+        if 0 < bi <= bi0 and L % bi == 0 and bi >= min_halo:
+            return bi
+    return 0
+
+
 def _halo_parts(x, axis: str, n_dev: int, kl: int, kr: int):
     """(x, lh, rh) for the halo-DMA kernels (ops.pallas_sharded
     *_halo): ONLY the kl/kr edge planes are ppermuted — the body is
@@ -284,9 +294,11 @@ def _build_local_cycle(
 
         # --- pre-smooth (red-first)
         bi_s = px.ext_block_i(L, sj, sk, H, 2, requested=block_i) if pal else 0
-        if bi_s and px.halo_ok(L, bi_s, H):
+        bi_sh = _halo_bi(bi_s, L, H)
+        if bi_sh:
             # halo-DMA tier: only the H edge planes travel; the body is
             # read in-kernel from the local array (no ext copy)
+            bi_s = bi_sh
             g = _gi0(axis, L, H)
             if from_zero:
                 e = px.rb_smooth_from_zero_halo(
@@ -318,11 +330,12 @@ def _build_local_cycle(
 
         # --- residual + restrict
         bi_r = px.restrict_ext_block_i(L // 2, sj, sk) if pal else 0
-        if bi_r and (L // 2) % bi_r == 0:
+        bi_rh = _halo_bi(bi_r, L // 2)
+        if bi_rh:
             rc = px.residual_restrict_halo(
                 _halo_parts(e, axis, n_dev, 2, 1),
                 _halo_parts(r, axis, n_dev, 2, 1),
-                _gi0(axis, L, 2), h, n, L // 2, block_i=bi_r,
+                _gi0(axis, L, 2), h, n, L // 2, block_i=bi_rh,
             )
         elif bi_r:
             rc = px.residual_restrict_ext(
@@ -344,12 +357,13 @@ def _build_local_cycle(
         # --- prolong + correct + post-smooth (black-first)
         bi_p = px.prolong_ext_block_i(L, sj, sk, n_smooth,
                                       requested=block_i) if pal else 0
-        if bi_p and px.halo_ok(L, bi_p, H) and bi_p >= H + 2:
+        bi_ph = _halo_bi(bi_p, L, H + 2)
+        if bi_ph:
             e = px.prolong_smooth_halo(
                 _halo_parts(ec, axis, n_dev, n_smooth, n_smooth + 1),
                 _halo_parts(e, axis, n_dev, H, H),
                 _halo_parts(r, axis, n_dev, H, H),
-                _gi0(axis, L, H), h, n_smooth, n, L, block_i=bi_p,
+                _gi0(axis, L, H), h, n_smooth, n, L, block_i=bi_ph,
             )
         elif bi_p:
             hc = H // 2 + 1
@@ -490,11 +504,12 @@ def make_sharded_df_solver(
 
     def residual_norm(u_hi, u_lo, f_hi, f_lo):
         bi = px.ext_block_i(L0, sj, sk, 1, 4, requested=block_i)
-        if bi and n > jnp_level_max and px.halo_ok(L0, bi, 1):
+        bi_h = _halo_bi(bi, L0, 1)
+        if bi_h and n > jnp_level_max:
             parts = [_halo_parts(a, axis, n_dev, 1, 1)
                      for a in (u_hi, u_lo, f_hi, f_lo)]
             r, part = px.residual_df_norm_halo(
-                *parts, _gi0(axis, L0, 1), h, n, L0, block_i=bi
+                *parts, _gi0(axis, L0, 1), h, n, L0, block_i=bi_h
             )
         elif bi and n > jnp_level_max:
             exts = [_halo_ext(a, axis, n_dev, 1)
