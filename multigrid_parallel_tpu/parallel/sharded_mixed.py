@@ -36,6 +36,8 @@ from multigrid_parallel_tpu.ops import stencils_3d as ops3
 from multigrid_parallel_tpu.parallel.sharded import (
     ShardPlan,
     _global_row,
+    _perm_bwd,
+    _perm_fwd,
     half_sweep_local,
     norm_sq_local,
     plan_sharding,
@@ -45,16 +47,26 @@ from multigrid_parallel_tpu.parallel.sharded import (
 )
 
 
-def apply_bcs_local(u, n: int, axis: str, pin0, pin1, vals0=None, vals1=None):
+def apply_bcs_local(u, n: int, axis: str, n_dev: int, pin0, pin1,
+                    vals0=None, vals1=None):
     """Mixed-BC enforcement on a local (L, n, n) block: whole-face
     Neumann copies in x, y, z order + Dirichlet patch pin. pin0/pin1:
     (n, n) f32 masks for the x=0 / x=end patches; vals*: patch values
     (None = zero pin, correction fields)."""
     L = u.shape[0]
     g = _global_row(axis, L)
-    # x faces: local row shifts, active only on the owning device
-    u = jnp.where(g == 0, jnp.concatenate([u[1:], u[:1]], axis=0), u)
-    u = jnp.where(g == n - 1, jnp.concatenate([u[-1:], u[:-1]], axis=0), u)
+    # x faces: the copy source can live on the NEIGHBOR device (global
+    # plane n-1 at local row 0 when L divides n-1 — a purely-local shift
+    # would read a pad plane there), so build the shifted views with a
+    # one-plane ppermute instead of a wrap.
+    dn = jnp.concatenate(
+        [jax.lax.ppermute(u[-1:], axis, _perm_fwd(n_dev)), u[:-1]], axis=0
+    )
+    up = jnp.concatenate(
+        [u[1:], jax.lax.ppermute(u[:1], axis, _perm_bwd(n_dev))], axis=0
+    )
+    u = jnp.where(g == 0, up, u)
+    u = jnp.where(g == n - 1, dn, u)
     # y faces
     u = u.at[:, 0].set(u[:, 1])
     u = u.at[:, n - 1].set(u[:, n - 2])
@@ -101,12 +113,12 @@ def _mixed_smooth_local(u, f, h, n_iter, n, axis, n_dev, pin0, pin1,
     for _ in range(n_iter):
         for c in colors:
             u = half_sweep_local(u, f, h, c, n, axis, n_dev)
-            u = apply_bcs_local(u, n, axis, pin0, pin1, vals0, vals1)
+            u = apply_bcs_local(u, n, axis, n_dev, pin0, pin1, vals0, vals1)
     # extra boundary-band relaxation (MixedBCSolver._smooth semantics)
     for _ in range(band_iters):
         for c in colors:
             u = _band_half_sweep_local(u, f, h, c, n, axis, n_dev, band_width)
-            u = apply_bcs_local(u, n, axis, pin0, pin1, vals0, vals1)
+            u = apply_bcs_local(u, n, axis, n_dev, pin0, pin1, vals0, vals1)
     return u
 
 
@@ -184,7 +196,7 @@ def make_sharded_mixed_bc_cycle(
             for _ in range(gamma - 1):
                 ec = correction(fc, level - 1, depth + 1, e_init=ec)
         u = prolong_correct_local(ec, u, hier.sizes[level - 1], axis, n_dev)
-        u = apply_bcs_local(u, nl, axis, pin0, pin1)
+        u = apply_bcs_local(u, nl, axis, n_dev, pin0, pin1)
         u = _mixed_smooth_local(u, f_local, h, n_smooth, nl, axis, n_dev,
                                 pin0, pin1, False, band_width=bw,
                                 band_iters=bits)
@@ -251,7 +263,7 @@ def make_sharded_mixed_bc_cycle(
             for _ in range(gamma - 1):
                 ec = correction(fc, level - 1, 1, e_init=ec)
         u = prolong_correct_local(ec, u, hier.sizes[level - 1], axis, n_dev)
-        u = apply_bcs_local(u, n, axis, pin0, pin1, vals0, vals1)
+        u = apply_bcs_local(u, n, axis, n_dev, pin0, pin1, vals0, vals1)
         u = _mixed_smooth_local(u, f, h, n_smooth, n, axis, n_dev,
                                 pin0, pin1, False, vals0, vals1,
                                 band_width=bw, band_iters=bits)

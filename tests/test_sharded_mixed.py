@@ -76,3 +76,31 @@ def test_sharded_mixed_band_wcycle_matches_single_device(mesh):
         u1, n1 = s._cycle(u1, f1)
         un, nn = cycle_n(un, fn)
         assert float(nn) == pytest.approx(float(n1), rel=1e-10), it
+
+
+def test_apply_bcs_local_shard_boundary(mesh):
+    """Global plane n-1 at LOCAL ROW 0 (L divides n-1): the x-face
+    Neumann copy's source lives on the PREVIOUS device — a purely-local
+    shift read a pad plane here (round-4 regression; fixed with a
+    one-plane ppermute)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from multigrid_parallel_tpu.ops import stencils_3d as ops3
+    from multigrid_parallel_tpu.parallel.sharded import plan_sharding
+
+    n = 17
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=3)
+    plan = plan_sharding(hier, 8)
+    L = plan.local_planes(0)
+    assert (n - 1) % L == 0  # the trigger geometry
+    rng = np.random.default_rng(0)
+    u = np.zeros((plan.padded_planes(0), n, n))
+    u[:n] = rng.standard_normal((n, n, n))
+    pin0 = jnp.zeros((n, n))
+    pin1 = jnp.zeros((n, n))
+    f = jax.jit(jax.shard_map(
+        lambda x: sm.apply_bcs_local(x, n, "x", 8, pin0, pin1),
+        mesh=mesh, in_specs=P("x"), out_specs=P("x"), check_vma=False))
+    got = np.asarray(f(jax.device_put(
+        jnp.asarray(u), NamedSharding(mesh, P("x")))))
+    want = np.asarray(ops3.apply_neumann_copy(jnp.asarray(u[:n])))
+    np.testing.assert_allclose(got[:n], want, rtol=0, atol=0)
