@@ -446,3 +446,268 @@ def mixed_prolong_smooth_fused(ec_pad, e_pad, r_pad, pin, h, n_iter, n,
             return call(*args)
 
     return go(pin, ec_pad, e_pad, r_pad)
+
+
+# ------------------- sharded ext variants (ops.pallas_sharded geometry)
+# The mixed smoother/prolong stages on halo-extended LOCAL blocks, so
+# the distributed electrospray solve keeps the fused-kernel tier
+# (round-3 verdict item #4). Geometry contract == ops.pallas_sharded:
+# ext arrays carry a 2*n_iter-plane halo, gi0 = global plane of ext row
+# 0 (axis_index*L - halo), outputs are the L owned planes. The
+# residual+restrict and EFT-norm stages need no mixed variants — the
+# Dirichlet ext kernels read whatever boundary values the smoother
+# maintained (same argument as the single-chip tier, module docstring).
+
+
+def _make_mixed_ext_kernel(L, si, sj, sk, bi, halo, nb, n_in, body):
+    """pallas_sharded._make_ext_kernel with the (2, SJ, SK) pin-plane
+    VMEM input; ``body(slabs, g0, pin0, pin1)`` -> out slab."""
+
+    def ob_of(blk):
+        return jnp.minimum(blk * bi, L - bi)
+
+    def in_dma(hbm, ins2, sem_i, v, slot, blk):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(ob_of(blk), si)], ins2.at[v, slot], sem_i.at[v, slot]
+        )
+
+    def out_dma(out_hbm, tile2, sem_o, slot, blk):
+        return pltpu.make_async_copy(
+            tile2.at[slot], out_hbm.at[pl.ds(ob_of(blk), bi)], sem_o.at[slot]
+        )
+
+    def kernel(gi0_ref, pin_ref, *refs):
+        hbms = refs[:n_in]
+        out_hbm = refs[n_in]
+        ins2, tile2, sem_i, sem_o = refs[n_in + 1 :]
+        i = pl.program_id(0)
+        slot = i % 2
+        nslot = (i + 1) % 2
+
+        @pl.when(i == 0)
+        def _():
+            for v in range(n_in):
+                in_dma(hbms[v], ins2, sem_i, v, slot, i).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for v in range(n_in):
+                in_dma(hbms[v], ins2, sem_i, v, nslot, i + 1).start()
+
+        for v in range(n_in):
+            in_dma(hbms[v], ins2, sem_i, v, slot, i).wait()
+
+        g0 = gi0_ref[0] + ob_of(i)
+        out_slab = body([ins2[v, slot] for v in range(n_in)], g0,
+                        pin_ref[0], pin_ref[1])
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i - 2).wait()
+
+        ins2[0, slot] = out_slab
+        tile2[slot] = ins2[0, slot, pl.ds(halo, bi)]
+        out_dma(out_hbm, tile2, sem_o, slot, i).start()
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i).wait()
+
+        @pl.when(jnp.logical_and(i == nb - 1, nb >= 2))
+        def _():
+            out_dma(out_hbm, tile2, sem_o, nslot, i - 1).wait()
+
+    return kernel
+
+
+def _mixed_ext_call(kernel, n_in, L, si, sj, sk, bi, dtype):
+    call = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(L, bi),),
+        out_shape=jax.ShapeDtypeStruct((L, sj, sk), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((n_in, 2, si, sj, sk), dtype),
+            pltpu.VMEM((2, bi, sj, sk), dtype),
+            pltpu.SemaphoreType.DMA((n_in, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+
+    def go(*args):
+        with jax.enable_x64(False):
+            return call(*args)
+
+    return go
+
+
+def mixed_rb_smooth_ext(u_ext, f_ext, pin, gi0, h, n_iter, n, L,
+                        red_first=True, block_i=8):
+    """All 2*n_iter mixed-BC RB half-sweeps on a local block, one pass
+    (folded copy-BCs + one final BC pass, as mixed_rb_smooth_fused)."""
+    _, sj, sk = u_ext.shape
+    hh = 2 * n_iter
+    si = block_i + 2 * hh
+    nb = pl.cdiv(L, block_i)
+    rb = _mixed_rb_body(h, n_iter, red_first, n, si, sj, sk)
+
+    def body(slabs, g0, pin0, pin1):
+        eu, ef = slabs
+        return rb(eu, ef, g0, pin0, pin1)
+
+    kernel = _make_mixed_ext_kernel(L, si, sj, sk, block_i, hh, nb, 2, body)
+    return _mixed_ext_call(kernel, 2, L, si, sj, sk, block_i, u_ext.dtype)(
+        gi0, pin, u_ext, f_ext
+    )
+
+
+def mixed_rb_smooth_from_zero_ext(f_ext, pin, gi0, h, n_iter, n, L,
+                                  red_first=True, block_i=8):
+    """mixed_rb_smooth_ext with an implicit zero initial guess."""
+    _, sj, sk = f_ext.shape
+    hh = 2 * n_iter
+    si = block_i + 2 * hh
+    nb = pl.cdiv(L, block_i)
+    rb = _mixed_rb_body(h, n_iter, red_first, n, si, sj, sk)
+
+    def body(slabs, g0, pin0, pin1):
+        (ef,) = slabs
+        return rb(jnp.zeros_like(ef), ef, g0, pin0, pin1)
+
+    kernel = _make_mixed_ext_kernel(L, si, sj, sk, block_i, hh, nb, 1, body)
+    return _mixed_ext_call(kernel, 1, L, si, sj, sk, block_i, f_ext.dtype)(
+        gi0, pin, f_ext
+    )
+
+
+def mixed_prolong_smooth_ext(ec_ext, u_ext, f_ext, pin, gi0, h, n_iter, n,
+                             L, block_i=8):
+    """e' = mixed_post_smooth(e + P(ec), r) on a local block in one pass
+    — the mixed twin of pallas_sharded.prolong_smooth_ext (coarse
+    BOUNDARY values participate; black-first folded-BC half-sweeps).
+    ec_ext carries an (n_iter + 1)-plane coarse halo; u/f a 2*n_iter
+    fine halo."""
+    nc = (n + 1) // 2
+    _, sj, sk = u_ext.shape
+    _, sjc, skc = ec_ext.shape
+    bi = block_i
+    H = 2 * n_iter
+    si = bi + 2 * H
+    sic = si // 2 + 1
+    nb = pl.cdiv(L, bi)
+    rb = _mixed_rb_body(h, n_iter, False, n, si, sj, sk)
+
+    def ob_of(blk):
+        return jnp.minimum(blk * bi, L - bi)  # even: L, bi even
+
+    def in_dma_fine(hbm, ref2, sem2, slot, blk):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(ob_of(blk), si)], ref2.at[slot], sem2.at[slot]
+        )
+
+    def in_dma_coarse(hbm, ref2, sem2, slot, blk):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(ob_of(blk) // 2 + 1, sic)], ref2.at[slot],
+            sem2.at[slot]
+        )
+
+    def out_dma(out_hbm, tile2, sem2, slot, blk):
+        return pltpu.make_async_copy(
+            tile2.at[slot], out_hbm.at[pl.ds(ob_of(blk), bi)], sem2.at[slot]
+        )
+
+    def kernel(gi0_ref, pin_ref, ec_hbm, u_hbm, f_hbm, out_hbm,
+               eu2, ef2, ec2, tile2, sem_u, sem_f, sem_c, sem_o):
+        i = pl.program_id(0)
+        slot = i % 2
+        nslot = (i + 1) % 2
+
+        @pl.when(i == 0)
+        def _():
+            in_dma_fine(u_hbm, eu2, sem_u, slot, i).start()
+            in_dma_fine(f_hbm, ef2, sem_f, slot, i).start()
+            in_dma_coarse(ec_hbm, ec2, sem_c, slot, i).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            in_dma_fine(u_hbm, eu2, sem_u, nslot, i + 1).start()
+            in_dma_fine(f_hbm, ef2, sem_f, nslot, i + 1).start()
+            in_dma_coarse(ec_hbm, ec2, sem_c, nslot, i + 1).start()
+
+        in_dma_fine(u_hbm, eu2, sem_u, slot, i).wait()
+        in_dma_fine(f_hbm, ef2, sem_f, slot, i).wait()
+        in_dma_coarse(ec_hbm, ec2, sem_c, slot, i).wait()
+
+        g0 = gi0_ref[0] + ob_of(i)
+        dtype = eu2.dtype
+        pj = _prolong_band_j(sj, sjc, dtype)
+        pkt = _prolong_band_kt(skc, sk, dtype)
+
+        yc = []
+        for c in range(sic):
+            y = jnp.dot(pj, ec2[slot, c], precision=jax.lax.Precision.HIGHEST)
+            yc.append(jnp.dot(y, pkt, precision=jax.lax.Precision.HIGHEST))
+        corr = []
+        for q in range(si):
+            if q % 2 == 0:
+                corr.append(yc[q // 2])
+            else:
+                corr.append(0.5 * (yc[q // 2] + yc[q // 2 + 1]))
+        corr = jnp.stack(corr, axis=0)
+        eu = eu2[slot] + corr
+        eu = rb(eu, ef2[slot], g0, pin_ref[0], pin_ref[1])
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i - 2).wait()
+
+        eu2[slot, :] = eu
+        tile2[slot] = eu2[slot, pl.ds(H, bi)]
+        out_dma(out_hbm, tile2, sem_o, slot, i).start()
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i).wait()
+
+        @pl.when(jnp.logical_and(i == nb - 1, nb >= 2))
+        def _():
+            out_dma(out_hbm, tile2, sem_o, nslot, i - 1).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((L, sj, sk), u_ext.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, si, sj, sk), u_ext.dtype),
+            pltpu.VMEM((2, si, sj, sk), u_ext.dtype),
+            pltpu.VMEM((2, sic, sjc, skc), u_ext.dtype),
+            pltpu.VMEM((2, bi, sj, sk), u_ext.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+
+    def go(*args):
+        with jax.enable_x64(False):
+            return call(*args)
+
+    return go(gi0, pin, ec_ext, u_ext, f_ext)
