@@ -36,6 +36,7 @@ from multigrid_parallel_tpu import cycles_padded as cp
 from multigrid_parallel_tpu.cycles import CycleConfig
 from multigrid_parallel_tpu.hierarchy import Hierarchy
 from multigrid_parallel_tpu.ops import pallas3d as pk
+from multigrid_parallel_tpu.ops import pallas_sharded as px1
 from multigrid_parallel_tpu.ops import pallas_sharded2d as px2
 from multigrid_parallel_tpu.ops import stencils_3d as ops3
 from multigrid_parallel_tpu.parallel.sharded import _perm_bwd, _perm_fwd
@@ -329,6 +330,76 @@ def _build_local_cycle2d(
         pal = _use_pallas2d(n, Li, Lj, H, jnp_level_max)
         nc = hier32.sizes[level - 1]
         sje = Lj + 2 * px2.HJ
+
+        if not pal and n > jnp_level_max and Li >= max(H + 2, 4):
+            # j-REPLICATED 1D tier (round 4, closes the Lj < 2*HJ
+            # fallback of the dispatch map): when the local j extent is
+            # too narrow for the 2D ext kernels, gather j to full width
+            # and run the level on the 1D ext kernels (i stays sharded).
+            # Every device in a j row computes identical replicated
+            # values; the device's block is sliced back at the end — so
+            # e.g. the 65^3 level of an 8x8 mesh stays on the fused
+            # path instead of dropping to masked-roll jnp.
+            _, sj_rep, _ = pk.padded_shape(n)
+            bi_s1 = px1.ext_block_i(Li, sj_rep, sk, H, 2,
+                                    requested=block_i)
+            bi_r1 = px1.restrict_ext_block_i(Li // 2, sj_rep, sk)
+            bi_p1 = px1.prolong_ext_block_i(Li, sj_rep, sk, n_smooth,
+                                            requested=block_i)
+            if bi_s1 and bi_r1 and bi_p1:
+                def to_jrep(x, nv):
+                    xg = jax.lax.all_gather(x, ax_j, axis=1,
+                                            tiled=True)[:, :nv]
+                    w = pk.padded_shape(nv)[1]
+                    return jnp.pad(xg, ((0, 0), (0, w - nv), (0, 0)))
+
+                def slice_j(x, ljl):
+                    xp = jnp.pad(
+                        x,
+                        ((0, 0), (0, max(plan.ny * ljl - x.shape[1], 0)),
+                         (0, 0)),
+                    )
+                    gj0 = (jax.lax.axis_index(ax_j) * ljl).astype(jnp.int32)
+                    z = jnp.zeros((), jnp.int32)
+                    return jax.lax.dynamic_slice(
+                        xp, (z, gj0, z), (x.shape[0], ljl, x.shape[2])
+                    )
+
+                def gi0_1d(halo):
+                    g = jax.lax.axis_index(ax_i) * Li - halo
+                    return g.astype(jnp.int32).reshape(1)
+
+                def exti(x, k):
+                    return _halo_ext_i(x, ax_i, plan.nx, k)
+
+                r_rep = to_jrep(r, n)
+                if from_zero:
+                    e_rep = px1.rb_smooth_from_zero_ext(
+                        exti(r_rep, H), gi0_1d(H), h, n_smooth, n, Li,
+                        red_first=True, block_i=bi_s1,
+                    )
+                else:
+                    e_rep = px1.rb_smooth_ext(
+                        exti(to_jrep(e, n), H), exti(r_rep, H), gi0_1d(H),
+                        h, n_smooth, n, Li, red_first=True, block_i=bi_s1,
+                    )
+                skc = cp._coarse_k_width(n, sk)
+                rc_rep = px1.residual_restrict_ext(
+                    exti(e_rep, 2), exti(r_rep, 2), gi0_1d(2), h, n,
+                    Li // 2, block_i=bi_r1,
+                )
+                rc = slice_j(rc_rep, plan.local_j(depth + 1))
+                ec = descend(None, rc, level - 1, depth + 1, from_zero=True)
+                if level - 1 > 0:
+                    for _ in range(cfg.gamma - 1):
+                        ec = descend(ec, rc, level - 1, depth + 1)
+                hc = H // 2 + 1
+                ec_rep = to_jrep(ec, nc)
+                e_rep = px1.prolong_smooth_ext(
+                    exti(ec_rep, hc), exti(e_rep, H), exti(r_rep, H),
+                    gi0_1d(H), h, n_smooth, n, Li, block_i=bi_p1,
+                )
+                return slice_j(e_rep, Lj)
 
         def ext2(x, hi):
             return _halo_ext_j(

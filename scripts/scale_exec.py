@@ -24,6 +24,14 @@ import time
 if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8").strip()
+# The single host core serializes the virtual devices, so per-device
+# skew at 1025^3 exceeds XLA:CPU's default 40 s collective-rendezvous
+# termination timeout (the 1025^3 one-step run died on it) — raise it.
+os.environ["XLA_FLAGS"] += (
+    " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+    " --xla_cpu_collective_timeout_seconds=7200"
+)
 
 import jax
 

@@ -64,9 +64,9 @@ def main():
     rng = np.random.default_rng(0)
     _, sj, skt = pk.padded_shape_trim(n)
     e = np.zeros((n, sj, skt), np.float32)
-    e[1:-1, 1:-1, 1:-1] = rng.standard_normal((n - 2,) * 3)
+    e[1:n-1, 1:n-1, 1:n-1] = rng.standard_normal((n - 2,) * 3)
     r = np.zeros((n, sj, skt), np.float32)
-    r[1:-1, 1:-1, 1:-1] = rng.standard_normal((n - 2,) * 3)
+    r[1:n-1, 1:n-1, 1:n-1] = rng.standard_normal((n - 2,) * 3)
     e, r = jnp.asarray(e), jnp.asarray(r)
     er, eb = ps.pack_split(e, n)
     rr_, rb_ = ps.pack_split(r, n)
@@ -143,7 +143,7 @@ def main():
     nc = (n + 1) // 2
     _, sjc, skc = pk.padded_shape_trim(nc)
     ec = np.zeros((nc, sjc, skc), np.float32)
-    ec[1:-1, 1:-1, 1:-1] = 0.01 * rng.standard_normal((nc - 2,) * 3)
+    ec[1:nc-1, 1:nc-1, 1:nc-1] = 0.01 * rng.standard_normal((nc - 2,) * 3)
     ec = jnp.asarray(ec)
 
     for bi in (12, 16):

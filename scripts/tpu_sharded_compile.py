@@ -372,12 +372,81 @@ def stage_c(n=65, block_i=8):
     return not bad
 
 
+def stage_d(levels=7, repeats=5, inner_cycles=4, n_sharded=3, block_i=8):
+    """Round 4: the halo-DMA tier's 1-dev distributed tax on the TRIM
+    layout — sharded trim solve (halo kernels active) vs the single-chip
+    trim solver, same session. Pass levels=8 for the first-ever 513^3
+    on-chip sharded solve."""
+    from jax.sharding import Mesh
+
+    from multigrid_parallel_tpu.cycles_padded import (
+        make_on_device_df_solver, ref_init_norm, setup_df_problem,
+    )
+
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=levels)
+    n = hier.finest_n
+    print(f"== stage D: trim sharded (halo-DMA) vs single-chip, 1-dev "
+          f"mesh, {n}^3 ==", flush=True)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("x",))
+    fine_local = -(-n // (1 << n_sharded)) * (1 << n_sharded)
+    plan = ShardPlan(n_dev=1, axis="x", n_sharded=n_sharded,
+                     fine_local=fine_local)
+    cfg = CycleConfig(n_smooth=2)
+    problem = poisson_3d_quadratic()
+    init = ref_init_norm(problem, hier)
+
+    t0 = time.perf_counter()
+    run, plan = sp.make_sharded_df_solver(
+        hier, cfg, mesh, plan, rel_tol=1e-8, inner_cycles=inner_cycles,
+        block_i=block_i, trim=True, init_norm=init,
+    )
+    st = sp.setup_df_problem_sharded_padded(problem, hier, mesh, plan,
+                                            trim=True)
+    _, _, norm, n_outer = run(*st)
+    norm, n_outer = float(norm), int(n_outer)
+    print(f"  compile+first solve {time.perf_counter()-t0:.1f}s  "
+          f"norm {norm:.3e}  n_outer {n_outer}", flush=True)
+    assert norm <= 1e-8 * init, (norm, init)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _, _, nd, od = run(*st)
+        float(nd), int(od)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(f"  sharded-trim(1dev,halo) wall: best {best:.4f}s  median "
+          f"{sorted(times)[len(times)//2]:.4f}s "
+          f"(times {['%.3f' % t for t in times]})", flush=True)
+
+    run1 = make_on_device_df_solver(hier, cfg, rel_tol=1e-8,
+                                    inner_cycles=inner_cycles,
+                                    trim=True, init_norm=init)
+    st1 = setup_df_problem(problem, hier, trim=True)
+    _, _, n1, o1 = run1(*st1)
+    float(n1), int(o1)
+    times1 = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _, _, nd, od = run1(*st1)
+        float(nd), int(od)
+        times1.append(time.perf_counter() - t0)
+    best1 = min(times1)
+    print(f"  single-chip-trim   wall: best {best1:.4f}s  median "
+          f"{sorted(times1)[len(times1)//2]:.4f}s", flush=True)
+    print(f"  distributed tax at n_dev=1 (trim+halo): {best/best1:.3f}x "
+          f"(+{(best-best1)*1e3:.1f} ms)", flush=True)
+
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-a", action="store_true")
     ap.add_argument("--skip-b", action="store_true")
     ap.add_argument("--skip-c", action="store_true")
     ap.add_argument("--n-sharded", type=int, default=3)
+    ap.add_argument("--stage-d", action="store_true")
+    ap.add_argument("--levels", type=int, default=7)
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}",
           flush=True)
@@ -388,4 +457,6 @@ if __name__ == "__main__":
         ok = stage_c() and ok
     if not args.skip_b:
         stage_b(n_sharded=args.n_sharded)
+    if args.stage_d:
+        stage_d(levels=args.levels, n_sharded=args.n_sharded)
     sys.exit(0 if ok else 1)

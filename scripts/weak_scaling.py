@@ -151,6 +151,21 @@ def print_dispatch_plan(n: int, device_list, n_smooth: int = 2,
                 bi = px2.ext2d_block_i(Li, sje, sk, H, 2, requested=block_i)
                 cells.append(f"{nl}: pallas(bi={bi})" if bi
                              else f"{nl}: jnp (no block fits)")
+            elif nl > jnp_level_max and Li >= max(H + 2, 4):
+                # round-4 j-replicated 1D tier: narrow-Lj levels gather
+                # j to full width and run the fused 1D ext kernels
+                sj_rep = pk.padded_shape(nl)[1]
+                bi1 = px.ext_block_i(Li, sj_rep, sk, H, 2,
+                                     requested=block_i)
+                ok1 = (bi1
+                       and px.restrict_ext_block_i(Li // 2, sj_rep, sk)
+                       and px.prolong_ext_block_i(Li, sj_rep, sk,
+                                                  n_smooth,
+                                                  requested=block_i))
+                if ok1:
+                    cells.append(f"{nl}: pallas-1d-jrep(bi={bi1})")
+                else:
+                    cells.append(f"{nl}: jnp (1d-jrep blocks do not fit)")
             else:
                 why = ("small level" if nl <= jnp_level_max
                        else (f"Lj={Lj}%8" if Lj % 8 else f"Li={Li}"))

@@ -216,8 +216,10 @@ def test_lj8_level_falls_back():
     """Regression (round-3 review): a Pallas-active level with Lj == 8
     used to clamp the prolong stage's coarse j halo to 4 columns and
     shift the static band mapping (39% error on a (2,4) mesh at 33^3).
-    The _use_pallas2d gate now requires Lj >= 2*HJ; the cycle must
-    match the single-chip cycle."""
+    The _use_pallas2d gate requires Lj >= 2*HJ; since round 4 the
+    narrow-Lj level runs the j-REPLICATED 1D fused tier instead of the
+    jnp fallback (gather j to full width, 1D ext kernels, slice back)
+    — either way the cycle must match the single-chip cycle."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     mesh = make_mesh_2d(2, 4)
@@ -225,8 +227,11 @@ def test_lj8_level_falls_back():
     cfg = CycleConfig(n_smooth=2)
     plan = s2p.plan_sharding_2d_padded(hier, 2, 4)
     # depth-1 level (n=17) has Lj == 8 under this plan — the config
-    # that used to corrupt the correction
+    # that used to corrupt the correction; it now dispatches the
+    # j-replicated 1D tier (pinned here so a gate regression is loud)
     assert plan.local_j(1) == 8
+    assert not s2p._use_pallas2d(17, plan.local_i(1), 8, 4, 9)
+    assert plan.local_i(1) >= 6  # the 1D-jrep tier's Li gate holds
     r = _rand(31)
     cyc_sh, _ = s2p.make_sharded2d_padded_cycle(
         hier, cfg, mesh, plan, jnp_level_max=9, block_i=4
