@@ -255,3 +255,198 @@ def setup_mixed_df_problem(solver: MixedBCSolver):
 def unpack_mixed_solution(u_hi, u_lo, hier: Hierarchy):
     n = hier.finest_n
     return pk.unpad3(pk.df_to_f64(u_hi, u_lo), n)
+
+
+# ------------------------------------------------ k-FOLD tier (round 4)
+# The mixed twin of the Dirichlet k-trim layout: lanes store k = 1..n-2
+# only (ops.pallas_mixed_fold) — 384->256 lanes at 257, 256->128 at 129.
+# Levels whose fold kernels fit VMEM run entirely in fold coordinates;
+# anything else (small levels, the coarse LU) delegates to the full-
+# layout descend through exact fold<->full conversions.
+
+from multigrid_parallel_tpu.ops import pallas_mixed_fold as pmf  # noqa: E402
+
+
+def _make_mixed_descend_fold(
+    solver: MixedBCSolver,
+    hier32: Hierarchy,
+    jnp_level_max: int,
+    block_i: int,
+):
+    """descend(e_f, r_f, level, from_zero) on fold-layout arrays."""
+    n_smooth = solver.n_smooth
+    gamma = solver.gamma
+    problem = solver.problem
+    full = _make_mixed_descend(solver, hier32, jnp_level_max, block_i)
+
+    pins_f = []
+    sgns_f = []
+    for lvl in range(hier32.num_levels):
+        nl = hier32.sizes[lvl]
+        _, sj, skf = pmf.fold_shape(nl)
+        pins_f.append(pmf.fold_pin_planes(problem, nl, sj, skf))
+        sgn = pmf.fold_edge_sign_planes(problem, nl, sj, skf)
+        # static skip: the annulus reaches the k-edge-adjacent plane
+        # only on coarse grids, so fine levels pay no delta matmuls
+        sgns_f.append((sgn, bool(np.any(np.asarray(sgn)))))
+
+    def descend(e, r, level, from_zero=False):
+        n = hier32.sizes[level]
+        _, sj, skf = pmf.fold_shape(n)
+        bi_s = pmf.mixed_fold_block_i(n, sj, skf, n_smooth,
+                                      requested=block_i)
+        bi_rr = pmf.rr_fold_block_i(n, sj, skf)
+        bi_p = pmf.mixed_fold_prolong_block_i(n, sj, skf, n_smooth,
+                                              requested=block_i)
+        use_fold = (level > 0 and n > jnp_level_max
+                    and bi_s and bi_rr and bi_p)
+        if not use_fold:
+            # delegate the whole subtree to the full-layout descend
+            r_full = pmf.fold_to_full_rhs(r, n)
+            e_full = None if e is None else pmf.unpack_fold(e, n)
+            out = full(e_full, r_full, level, from_zero=from_zero)
+            return pmf.full_to_fold(out, n)
+        h = hier32.spacing(level)
+        pin = pins_f[level]
+        if from_zero:
+            e = pmf.mixed_rb_smooth_from_zero_fold(
+                r, pin, h, n_smooth, n, red_first=True, block_i=bi_s)
+        else:
+            e = pmf.mixed_rb_smooth_fold(
+                e, r, pin, h, n_smooth, n, red_first=True, block_i=bi_s)
+        rc = pmf.residual_restrict_fold(e, r, h, n, block_i=bi_rr)
+        ec = descend(None, rc, level - 1, from_zero=True)
+        if level - 1 > 0:
+            for _ in range(gamma - 1):  # W-cycle revisits
+                ec = descend(ec, rc, level - 1)
+        sgn_c, has_delta = sgns_f[level - 1]
+        return pmf.mixed_prolong_smooth_fold(ec, e, r, pin, sgn_c, h,
+                                             n_smooth, n, block_i=bi_p,
+                                             with_delta=has_delta)
+
+    return descend
+
+
+def apply_bcs_fold(e, n, pin, vals=None):
+    """apply_bcs_padded on a fold-layout (n, sj, skf) array: x and y
+    Neumann copies + the Dirichlet pin; the z faces are not stored."""
+    e = e.at[0].set(e[1])
+    e = e.at[n - 1].set(e[n - 2])
+    e = e.at[:, 0].set(e[:, 1])
+    e = e.at[:, n - 1].set(e[:, n - 2])
+    v0 = jnp.zeros_like(e[0]) if vals is None else vals[0]
+    v1 = jnp.zeros_like(e[0]) if vals is None else vals[1]
+    e = e.at[0].set(jnp.where(pin[0] > 0.5, v0, e[0]))
+    return e.at[n - 1].set(jnp.where(pin[1] > 0.5, v1, e[n - 1]))
+
+
+def make_mixed_fold_df_solver(
+    solver: MixedBCSolver,
+    rel_tol: float = 1e-8,
+    max_cycles: int = 100,
+    inner_cycles: int = 2,
+    jnp_level_max: int = cp._JNP_LEVEL_MAX,
+    block_i: int = 8,
+):
+    """The k-fold twin of make_mixed_padded_df_solver: same solve, 2/3
+    of the fine-level (1/2 of the 129-level) HBM traffic and lanes.
+    Pair with setup_mixed_fold_df_problem / unpack_mixed_fold_solution.
+    """
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+
+    if getattr(solver, "boundary_band_iters", 0):
+        import warnings
+
+        warnings.warn(
+            "make_mixed_fold_df_solver honors gamma but NOT "
+            "boundary_band_width/iters (use gamma=2 W-cycles here)",
+            stacklevel=2,
+        )
+
+    hier = solver.hier
+    f32 = jnp.float32
+    hier32 = dataclasses.replace(hier, dtype=f32)
+    inner = _make_mixed_descend_fold(solver, hier32, jnp_level_max, block_i)
+    level = hier.num_levels - 1
+    n = hier.sizes[level]
+    h = hier.spacing(level)
+    _, sj, skf = pmf.fold_shape(n)
+    pin_top = pmf.fold_pin_planes(solver.problem, n, sj, skf)
+
+    _, vals64 = solver.problem.boundary_masks(n)
+    v0_hi, v0_lo = pk.df_split(jnp.asarray(vals64[0]))
+    v1_hi, v1_lo = pk.df_split(jnp.asarray(vals64[n - 1]))
+
+    def fold_plane_pair(v0, v1):
+        out = jnp.stack([
+            jnp.pad(v0, ((0, sj - n), (0, 0))),
+            jnp.pad(v1, ((0, sj - n), (0, 0))),
+        ])[:, :, 1 : n - 1]
+        return jnp.pad(out, ((0, 0), (0, 0), (0, skf - (n - 2))))
+
+    vals_hi = fold_plane_pair(v0_hi, v1_hi)
+    vals_lo = fold_plane_pair(v0_lo, v1_lo)
+
+    bi_r = pmf.fold_residual_block_i(n, sj, skf, requested=block_i)
+
+    def enforce_outer_bcs(u_hi, u_lo):
+        u_hi = apply_bcs_fold(u_hi, n, pin_top, vals_hi)
+        u_lo = apply_bcs_fold(u_lo, n, pin_top, vals_lo)
+        return u_hi, u_lo
+
+    def residual_norm(u_hi, u_lo, f_hi, f_lo):
+        if bi_r:
+            r, nrm2 = pmf.residual_df_norm_fold(u_hi, u_lo, f_hi, f_lo,
+                                                h, n, block_i=bi_r)
+        else:  # tiny grids: full-layout kernel (or its jnp fallback)
+            r_full, nrm2 = pk.residual_df_norm_fused_padded(
+                pmf.unpack_fold(u_hi, n), pmf.unpack_fold(u_lo, n),
+                pmf.fold_to_full_rhs(f_hi, n), pmf.fold_to_full_rhs(f_lo, n),
+                h, n)
+            r = pmf.pack_fold(r_full, n)
+        return r, jnp.sqrt(nrm2)
+
+    def body(state):
+        u_hi, u_lo, r, nrm, it, f_hi, f_lo = state
+        e = inner(None, r, level, from_zero=True)
+        for _ in range(inner_cycles - 1):  # static unroll
+            e = inner(e, r, level)
+        u_hi, u_lo = pk.df_add(u_hi, u_lo, e)
+        u_hi, u_lo = enforce_outer_bcs(u_hi, u_lo)
+        r, nrm = residual_norm(u_hi, u_lo, f_hi, f_lo)
+        return u_hi, u_lo, r, nrm, it + 1, f_hi, f_lo
+
+    @jax.jit
+    def run(u_hi, u_lo, f_hi, f_lo):
+        r0, n0 = residual_norm(u_hi, u_lo, f_hi, f_lo)
+        tol = jnp.asarray(rel_tol, f32) * n0
+
+        def cond(state):
+            nrm, it = state[3], state[4]
+            return jnp.logical_and(nrm > tol, it < max_cycles)
+
+        out = jax.lax.while_loop(
+            cond, body, (u_hi, u_lo, r0, n0, jnp.asarray(0), f_hi, f_lo)
+        )
+        return out[0], out[1], out[3], out[4]
+
+    return run
+
+
+def setup_mixed_fold_df_problem(solver: MixedBCSolver):
+    """setup_mixed_df_problem packed into the fold layout."""
+    u_hi, u_lo, f_hi, f_lo = setup_mixed_df_problem(solver)
+    n = solver.hier.finest_n
+    return (pmf.pack_fold(u_hi, n), pmf.pack_fold(u_lo, n),
+            pmf.pack_fold(f_hi, n), pmf.pack_fold(f_lo, n))
+
+
+def unpack_mixed_fold_solution(u_hi, u_lo, solver: MixedBCSolver):
+    """Fold df solution -> (n, n, n) f64 cube with one final host-side
+    BC pass (restores Dirichlet patch values on k-face edge nodes of
+    the x faces, which the fold reconstructs as Neumann copies)."""
+    hier = solver.hier
+    n = hier.finest_n
+    u = pk.unpad3(pk.df_to_f64(pmf.unpack_fold(u_hi, n),
+                               pmf.unpack_fold(u_lo, n)), n)
+    return solver._apply_bcs(u, hier.num_levels - 1, zero_dirichlet=False)
