@@ -55,6 +55,10 @@ def main(argv=None):
                    help="electrospray boundary-band relaxation (the "
                         "docs/MIXED_BC.md convergence fix, e.g. "
                         "--band 2 2; combine with --gamma 2)")
+    p.add_argument("--fold", action="store_true",
+                   help="electrospray k-FOLD fused performance tier "
+                        "(fastest mixed-BC path; use with "
+                        "--electrospray --gamma 2)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -113,7 +117,20 @@ def main(argv=None):
                            gamma=args.gamma, boundary_band_width=bw,
                            boundary_band_iters=bi)
         t0 = time.perf_counter()
-        if args.mixed:
+        if args.fold:
+            # k-FOLD fused Pallas tier (round 4): the fastest mixed-BC
+            # path — 2/3 of the fine-level lanes (docs/MIXED_BC.md §3)
+            from multigrid_parallel_tpu import mixed_padded as _mp
+
+            run = _mp.make_mixed_fold_df_solver(
+                ms, rel_tol=args.tol, max_cycles=args.max_cycles,
+                inner_cycles=1,
+            )
+            st = _mp.setup_mixed_fold_df_problem(ms)
+            u_hi, u_lo, _norm, it = run(*st)
+            u = _mp.unpack_mixed_fold_solution(u_hi, u_lo, ms)
+            n_cycles_out = int(it)
+        elif args.mixed:
             # jit-fused performance path: one lax.while_loop, f32 inner
             u, norm, n_cycles, init = ms.solve_on_device(
                 rel_tol=args.tol, max_cycles=args.max_cycles
