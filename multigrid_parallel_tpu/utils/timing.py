@@ -70,9 +70,14 @@ def timed_call(info: TimingInfo, stage: int, fn: Callable, *args):
 
 
 def profile_padded_stages(hier, cfg, block_i: int = 16, reps: int = 20,
-                          jnp_level_max: int | None = None):
+                          jnp_level_max: int | None = None,
+                          trim: bool = False):
     """Per-stage wall times for the PADDED Pallas cycle — the path the
     single-chip performance solver actually runs (cycles_padded).
+
+    ``trim=True`` times the k-TRIM layout (the round-3+ headline lane
+    widths, pk.padded_shape_trim) — every kernel is shape-driven, so
+    this is the same code on 2/3 (257³) / 1/2 (129³) of the lanes.
 
     Returns (rows, latency_s): rows of (label, seconds) for each fused
     stage at each Pallas level plus the whole jnp-path coarse subtree and
@@ -93,6 +98,7 @@ def profile_padded_stages(hier, cfg, block_i: int = 16, reps: int = 20,
     hier32 = dataclasses.replace(hier, dtype=f32)
     n_top = hier32.sizes[hier32.num_levels - 1]
     lvl_max = cp._JNP_LEVEL_MAX if jnp_level_max is None else jnp_level_max
+    shape_of = pk.padded_shape_trim if trim else pk.padded_shape
 
     tiny = jnp.zeros((8, 128), f32)
     lat_fn = jax.jit(lambda t: jnp.sum(t))
@@ -122,13 +128,13 @@ def profile_padded_stages(hier, cfg, block_i: int = 16, reps: int = 20,
                 hier32, num_levels=level + 1, dtype=f32
             )
             cyc = cp.make_padded_correction_cycle(sub, cfg, lvl_max)
-            r = jax.random.normal(key, pk.padded_shape(n), f32)
+            r = jax.random.normal(key, shape_of(n), f32)
             fn = jax.jit(lambda r: jnp.sum(cyc(None, r, from_zero=True)[:1]))
             add(f"L{level} ({n}³) jnp subtree (whole V to coarse)",
                 lambda: fn(r))
             break
         h = hier32.spacing(level)
-        shape = pk.padded_shape(n)
+        shape = shape_of(n)
         e = jax.random.normal(key, shape, f32)
         r = jax.random.normal(jax.random.PRNGKey(1), shape, f32)
         _, sj, sk = shape
@@ -152,7 +158,7 @@ def profile_padded_stages(hier, cfg, block_i: int = 16, reps: int = 20,
         bi_ps = pk.ps_fused_block_i(n, sj, sk, cfg.n_smooth, 4)
         if bi_ps:
             nc = hier32.sizes[level - 1]
-            ec = jax.random.normal(key, pk.padded_shape(nc), f32)
+            ec = jax.random.normal(key, shape_of(nc), f32)
             ps = jax.jit(lambda ec, e, r: jnp.sum(
                 pk.prolong_smooth_fused_padded(
                     ec, e, r, h, cfg.n_smooth, n, block_i=bi_ps)[:1]))
@@ -161,7 +167,7 @@ def profile_padded_stages(hier, cfg, block_i: int = 16, reps: int = 20,
 
     # outer double-float stages at the finest level
     h_top = hier32.spacing(hier32.num_levels - 1)
-    shape = pk.padded_shape(n_top)
+    shape = shape_of(n_top)
     uh = jax.random.normal(key, shape, f32)
     ul = jax.random.normal(jax.random.PRNGKey(2), shape, f32) * 1e-8
     fh = jax.random.normal(jax.random.PRNGKey(3), shape, f32)

@@ -66,26 +66,49 @@ def solve_rows():
         cfg = mg.CycleConfig(n_smooth=2)
         prob = mg.poisson_3d_quadratic()
         init = ref_init_norm(prob, hier)
-        run = make_on_device_df_solver(hier, cfg, rel_tol=REL_TOL,
-                                       inner_cycles=4, trim=True,
-                                       init_norm=init)
-        args = setup_df_problem(prob, hier, trim=True)
+        # the production dispatch (bench.py): split-color tier at the
+        # finest level when supported (n >= 257), k-trim otherwise
+        from multigrid_parallel_tpu import cycles_split as cs
+        use_split = cs.split_available(hier, cfg.n_smooth)
+        if use_split:
+            run = cs.make_split_df_solver(hier, cfg, rel_tol=REL_TOL,
+                                          inner_cycles=4, init_norm=init)
+            args = cs.setup_split_df_problem(prob, hier)
+        else:
+            run = make_on_device_df_solver(hier, cfg, rel_tol=REL_TOL,
+                                           inner_cycles=4, trim=True,
+                                           init_norm=init)
+            args = setup_df_problem(prob, hier, trim=True)
         out = run(*args)
-        float(out[2])  # compile + run
+        float(out[-2])  # compile + run
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             out = run(*args)
-            norm, it = float(out[2]), int(out[3])
+            norm, it = float(out[-2]), int(out[-1])
             best = min(best, time.perf_counter() - t0)
         wall = best
-        u = untrim_solution(out[0], out[1], prob, hier)
-        exact = evaluate_on_grid(mg.poisson_3d_quadratic().analytic, hier, levels - 1)
-        err = float(jnp.sqrt(jnp.sum((u - exact) ** 2)))
+        # free what we can before materializing f64 cubes — at 513³ the
+        # split-pair state is ~4 GB and the shared chip can OOM
+        del args, run
+        try:
+            if use_split:
+                u = cs.unsplit_solution(*out[:4], prob, hier)
+            else:
+                u = untrim_solution(out[0], out[1], prob, hier)
+            u.block_until_ready()
+            del out
+            exact = evaluate_on_grid(mg.poisson_3d_quadratic().analytic,
+                                     hier, levels - 1)
+            err_s = f"{float(jnp.sqrt(jnp.sum((u - exact) ** 2))):.2e}"
+            del u, exact
+        except Exception as e:  # shared-chip RESOURCE_EXHAUSTED
+            err_s = "oom-skipped"
+            print(f"  (err column skipped: {type(e).__name__})", flush=True)
         cref = C_BASELINE.get(n)
         speedup = f"{cref / wall:.1f}x" if cref else "—"
         rows.append(
-            f"| {n}³ | {wall:.4f} | {it * 4} | {norm:.2e} | {err:.2e} | "
+            f"| {n}³ | {wall:.4f} | {it * 4} | {norm:.2e} | {err_s} | "
             f"{cref if cref is not None else '—'} | {speedup} |"
         )
         print(rows[-1], flush=True)
@@ -126,12 +149,17 @@ def crossover_rows():
     """The sweep behind _JNP_LEVEL_MAX: whole-solve wall time at 257³ as
     the Pallas/jnp level crossover moves."""
     rows = []
+    from multigrid_parallel_tpu.cycles_padded import ref_init_norm
+
     hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=7)
     cfg = mg.CycleConfig(n_smooth=2)
-    args = setup_df_problem(mg.poisson_3d_quadratic(), hier)
+    prob = mg.poisson_3d_quadratic()
+    init = ref_init_norm(prob, hier)
+    args = setup_df_problem(prob, hier, trim=True)
     for lmax in (17, 33, 65):
         run = make_on_device_df_solver(
-            hier, cfg, rel_tol=REL_TOL, inner_cycles=4, jnp_level_max=lmax
+            hier, cfg, rel_tol=REL_TOL, inner_cycles=4, jnp_level_max=lmax,
+            trim=True, init_norm=init,
         )
         out = run(*args)
         float(out[2])
@@ -147,12 +175,14 @@ def crossover_rows():
 
 
 def kernel_rows():
-    """Kernel table incl. the block_i sweep behind the smoother default."""
+    """Kernel table incl. the block_i sweep behind the smoother default.
+    Measured on the k-TRIM layout (the shipped lane widths; kernels are
+    shape-driven) plus the split-color finest-level stage."""
     rows = []
     n = 257
     h = 1.0 / (n - 1)
-    up = jnp.zeros(pk.padded_shape(n), jnp.float32)
-    fp = jnp.ones(pk.padded_shape(n), jnp.float32)
+    up = jnp.zeros(pk.padded_shape_trim(n), jnp.float32)
+    fp = jnp.ones(pk.padded_shape_trim(n), jnp.float32)
     vol_gb = 3 * up.size * 4 / 1e9
     lat = _latency()
 
@@ -173,8 +203,29 @@ def kernel_rows():
         )
         dt = t(smoother, up, fp)
         rows.append(
-            f"| fused RB-GS stage (4 half-sweeps, bi={bi}) | {dt * 1e3:.2f} | "
+            f"| trim RB-GS stage (4 half-sweeps, bi={bi}) | {dt * 1e3:.2f} | "
             f"{vol_gb / dt:.0f} |"
+        )
+    from multigrid_parallel_tpu.ops import pallas_split as psp
+    if psp.split_supported(n):
+        _, sjs, skh = psp.split_shape(n)
+        bi_s = psp.split_smooth_block_i(n, sjs, skh, 2, requested=24)
+        ur = jnp.zeros((n, sjs, skh), jnp.float32)
+        ub = jnp.zeros((n, sjs, skh), jnp.float32)
+        fr = jnp.ones((n, sjs, skh), jnp.float32)
+        fb = jnp.ones((n, sjs, skh), jnp.float32)
+        sp = jax.jit(lambda ur, ub, fr, fb: psp.rb_smooth_split(
+            ur, ub, fr, fb, h, 2, n, red_first=True, block_i=bi_s)[0])
+        x = sp(ur, ub, fr, fb); float(jnp.sum(x))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            x = sp(x, ub, fr, fb)
+        float(jnp.sum(x))
+        dt = (time.perf_counter() - t0 - lat) / 20
+        vol_s = 6 * ur.size * 4 / 1e9  # 2 colors x (u in, f in, u out)
+        rows.append(
+            f"| split-color RB-GS stage (4 half-sweeps, bi={bi_s}) | "
+            f"{dt * 1e3:.2f} | {vol_s / dt:.0f} |"
         )
     resid = jax.jit(lambda u, f: pk.residual_fused_pipelined(u, f, h, n, block_i=16))
     dt = t(resid, up, fp)
@@ -196,7 +247,8 @@ def stage_rows():
     from multigrid_parallel_tpu.utils.timing import profile_padded_stages
 
     hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=7)
-    rows_raw, lat = profile_padded_stages(hier, mg.CycleConfig(n_smooth=2))
+    rows_raw, lat = profile_padded_stages(hier, mg.CycleConfig(n_smooth=2),
+                                          trim=True)
     rows = [f"| {lbl} | {t * 1e3:.2f} |" for lbl, t in rows_raw]
     for r in rows:
         print(r, flush=True)
@@ -212,6 +264,11 @@ def electrospray_row():
     prob = electrospray_problem()
     hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=5, length=prob.length)
     s = MixedBCSolver(prob, hier, n_smooth=2)
+    # anchor: the INITIAL residual norm (f = 0 here, so the reference's
+    # ||f|| convention is vacuous; absolute residuals read as huge
+    # because the electrode voltages span 1350 V / h² ~ 1e9)
+    init = float(s.make_on_device_solver(rel_tol=1e-8, max_cycles=0,
+                                         inner_cycles=2)(*s.initial_state())[1])
     run = s.make_on_device_solver(rel_tol=1e-8, inner_cycles=2)
     u0, f = s.initial_state()
     out = run(u0, f)
@@ -223,9 +280,43 @@ def electrospray_row():
         norm, it = float(out[1]), int(out[2])
         best = min(best, time.perf_counter() - t0)
     row = (f"| electrospray 65³ (f32 inner, f64 outer, inner_cycles=2) | "
-           f"{best:.4f} | {it} | {norm:.2e} |")
+           f"{best:.4f} | {it} | {norm / init:.2e} (of ||r0||={init:.2e}) |")
     print(row, flush=True)
     return row
+
+
+def electrospray_fold_rows():
+    """257³ electrospray on the k-FOLD fused tier (round-4: the mixed
+    twin of k-trim — ops.pallas_mixed_fold) vs the full-layout fused
+    tier, production config (gamma=2 W-cycles, mg_3d_bkup.c geometry)."""
+    from multigrid_parallel_tpu import mixed_padded as mp
+    from multigrid_parallel_tpu.mixed_bc import MixedBCSolver
+    from multigrid_parallel_tpu.models.electrospray import electrospray_problem
+
+    prob = electrospray_problem()
+    hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=7, length=prob.length)
+    s = MixedBCSolver(prob, hier, n_smooth=2, gamma=2)
+    rows = []
+    for name, make, setup in (
+        ("electrospray 257³ fold tier (W-cycle)",
+         mp.make_mixed_fold_df_solver, mp.setup_mixed_fold_df_problem),
+        ("electrospray 257³ full-layout tier (W-cycle)",
+         mp.make_mixed_padded_df_solver, mp.setup_mixed_df_problem),
+    ):
+        run = make(s, rel_tol=1e-8, inner_cycles=1)
+        st = setup(s)
+        out = run(*st)
+        float(out[2])
+        best = float("inf")
+        for _ in range(3):
+            st = setup(s)
+            t0 = time.perf_counter()
+            out = run(*st)
+            norm, it = float(out[2]), int(out[3])
+            best = min(best, time.perf_counter() - t0)
+        rows.append(f"| {name} | {best:.4f} | {it} | {norm:.2e} |")
+        print(rows[-1], flush=True)
+    return rows
 
 
 def north_star_rows(n_levels=7):
@@ -290,8 +381,10 @@ def main():
         cross = crossover_rows()
         stages, lat = stage_rows()
         esp = electrospray_row()
+        esp_fold = electrospray_fold_rows()
     else:
         fmg, cross, stages, esp, lat = [], [], [], "", 0.0
+        esp_fold = []
 
     extra = ""
     if not args.quick:
@@ -316,7 +409,7 @@ path instead of Pallas launches:
 |---|---|
 {chr(10).join(cross)}
 
-## Per-stage profile of the padded cycle (257³)
+## Per-stage profile of the padded k-trim cycle (257³)
 
 Each fused stage timed as its own jitted call, best-of-20, dispatch
 latency ({lat * 1e3:.2f} ms through the axon tunnel) subtracted.
@@ -331,9 +424,16 @@ accurate per-kernel numbers.
 
 ## Mixed-BC (electrospray) on the jit-fused path
 
+The 65³ row's residual is RELATIVE to the initial residual norm (the
+solve anchors on ||r0|| because f = 0); the 257³ rows run the Pallas
+performance tiers (fold = the round-4 k-fold layout, docs/MIXED_BC.md
+§3) and quote the absolute final f32 residual of the same converged
+solve (||r0|| ~ 4e9 there).
+
 | solve | wall (s) | outer steps | final resid |
 |---|---|---|---|
 {esp}
+{chr(10).join(esp_fold)}
 """
 
     doc = f"""# Benchmark details (measured on {dev.device_kind}, single chip)
@@ -346,11 +446,15 @@ criterion, test_mg_3d.c:19,40). C baseline: gcc -O2 -fopenmp, 4 threads
 CLAUDE.md); see scripts/roofline.py for the latency-calibrated kernel
 cross-checks and docs/ROOFLINE.md for the bound analysis.
 
-The solve and FMG tables run the k-TRIM layout (the round-3 headline
-path, docs/ROOFLINE.md); the kernel/stage/crossover tables measure the
-full padded layout (layout-comparison baselines). The electrospray
-257³ performance-path numbers (0.259 s, W-cycle) are in
-docs/MIXED_BC.md §3.
+Every table measures the SHIPPED layouts: the solve table runs the
+production dispatch (split-color finest level at n >= 257 on top of
+k-trim — bench.py's path), the FMG/crossover tables the k-trim solver,
+the kernel/stage tables k-trim shapes plus the split-color stage, and
+the electrospray rows the mixed fused tiers (full + k-fold). The 33³
+solve row is DISPATCH-LATENCY-BOUND: ~16 dispatch+readback round trips
+through the axon tunnel (~23-26 ms each, amortized by the jit-fused
+while_loop to ~3 ms visible each) dominate its wall time — device
+compute is ~5 ms; the C reference at 33³ has no such floor.
 
 ## Full solves
 
@@ -358,11 +462,11 @@ docs/MIXED_BC.md §3.
 |---|---|---|---|---|---|---|
 {chr(10).join(solve)}
 
-## Kernels at 257³ (f32, padded layout)
+## Kernels at 257³ (f32, k-trim layout; split row on split pairs)
 
 "Effective GB/s" = minimal algorithmic traffic (u in, f in, u out) over
-wall time; actual DMA traffic is higher (halo overlap ~1.5x at bi=16).
-The bi sweep is the measurement behind the smoother's block_i=16 default.
+wall time; actual DMA traffic is higher (halo overlap at bi=16-24).
+The bi sweep is the measurement behind the smoother's block defaults.
 
 | Kernel | ms | effective GB/s |
 |---|---|---|

@@ -96,30 +96,41 @@ def print_dispatch_plan(n: int, device_list, n_smooth: int = 2,
     assert hier.finest_n == n, (hier.finest_n, n)
     H = 2 * n_smooth
 
-    print(f"\n## {n}^3 fused-vs-fallback dispatch map "
-          f"(n_smooth={n_smooth}, jnp_level_max={jnp_level_max}, "
-          f"requested block_i={block_i})")
-    print()
-    print("| devices | level sizes: dispatch (smoother block_i) |")
-    print("|---|---|")
-    for nd in device_list:
-        plan = plan_sharding(hier, nd)
-        cells = []
-        for depth in range(plan.n_sharded):
-            level = hier.num_levels - 1 - depth
-            nl = hier.sizes[level]
-            L = plan.local_planes(depth)
-            _, sj, sk = pk.padded_shape(nl)
-            if _use_pallas(nl, L, H, jnp_level_max):
-                bi = px.ext_block_i(L, sj, sk, H, 2, requested=block_i)
-                cells.append(f"{nl}: pallas(bi={bi})" if bi
-                             else f"{nl}: jnp (no block fits)")
-            else:
-                why = "small level" if nl <= jnp_level_max else f"L={L}<{max(H+2,4)}"
-                cells.append(f"{nl}: jnp ({why})")
-        rep = hier.sizes[hier.num_levels - 1 - plan.n_sharded]
-        cells.append(f"<= {rep}: replicated single-chip cycle")
-        print(f"| {nd} | {'; '.join(cells)} |")
+    from multigrid_parallel_tpu.parallel.sharded_padded import _halo_bi
+
+    for trim in (False, True):
+        label = "k-TRIM (production) widths" if trim else "full-layout widths"
+        shape_of = pk.padded_shape_trim if trim else pk.padded_shape
+        print(f"\n## {n}^3 fused-vs-fallback dispatch map, {label} "
+              f"(n_smooth={n_smooth}, jnp_level_max={jnp_level_max}, "
+              f"requested block_i={block_i})")
+        print()
+        print("| devices | level sizes: dispatch (smoother block_i; "
+              "halo = in-kernel neighbor DMA, ext = materialized copy) |")
+        print("|---|---|")
+        for nd in device_list:
+            plan = plan_sharding(hier, nd)
+            cells = []
+            for depth in range(plan.n_sharded):
+                level = hier.num_levels - 1 - depth
+                nl = hier.sizes[level]
+                L = plan.local_planes(depth)
+                _, sj, sk = shape_of(nl)
+                if _use_pallas(nl, L, H, jnp_level_max):
+                    bi = px.ext_block_i(L, sj, sk, H, 2, requested=block_i)
+                    if bi and _halo_bi(bi, L, H):
+                        cells.append(f"{nl}: pallas-halo(bi={_halo_bi(bi, L, H)})")
+                    elif bi:
+                        cells.append(f"{nl}: pallas-ext(bi={bi})")
+                    else:
+                        cells.append(f"{nl}: jnp (no block fits)")
+                else:
+                    why = ("small level" if nl <= jnp_level_max
+                           else f"L={L}<{max(H+2,4)}")
+                    cells.append(f"{nl}: jnp ({why})")
+            rep = hier.sizes[hier.num_levels - 1 - plan.n_sharded]
+            cells.append(f"<= {rep}: replicated single-chip cycle")
+            print(f"| {nd} | {'; '.join(cells)} |")
 
     # 2D-mesh dispatch: at 1025^3 the finest planes (4.75 MiB padded)
     # cannot fit a double-buffered 1D slab in VMEM at ANY block_i —
