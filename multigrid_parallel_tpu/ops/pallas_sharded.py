@@ -86,14 +86,20 @@ def restrict_ext_block_i(Lc, sj, sk, itemsize=4, requested=8):
 
 
 def prolong_ext_block_i(L, sj, sk, n_iter, itemsize=4, requested=8):
-    """block_i for prolong_smooth_ext, or 0."""
+    """block_i for prolong_smooth_ext, or 0.
+
+    The bi=2 floor gets a slightly larger allowance (92 MB): its 89.4 MB
+    estimate at the 513-trim level compiles and runs under real Mosaic
+    (validated on-chip 2026-08-17), and without it the 513³ 1D tier's
+    prolong stage falls back to masked-roll jnp entirely."""
     plane = sj * sk * itemsize
     for bi in (requested, 8, 4, 2):
         if bi > requested or bi % 2:
             continue
         si = bi + 4 * n_iter
         est = 2 * 2 * si * plane + 4 * si * plane + 2 * bi * plane
-        if est <= _VMEM_BUDGET and L >= bi:
+        budget = _VMEM_BUDGET if bi > 2 else 92 * 1024 * 1024
+        if est <= budget and L >= bi:
             return bi
     return 0
 
