@@ -685,26 +685,39 @@ def prolong_smooth_ext(ec_ext, e_ext, r_ext, gi0, h, n_iter, n, L, block_i=8):
 # The ext kernels above read a caller-materialized (L + 2*halo) extended
 # copy — one full extra HBM write+read of every stream per stage (the
 # measured 1.14-1.26x distributed tax, docs/SCALING.md). These variants
-# take the LOCAL array plus two SMALL ppermuted halo buffers and stitch
-# each slab from up to three sources with static-length DMAs instead:
+# take the LOCAL array plus two SMALL halo-side buffers and stitch each
+# slab from up to three sources with static-length DMAs instead:
 #   head rows: left-halo buffer (first block) or the local array itself
 #   mid  rows: always the local array
-#   tail rows: right-halo buffer (last block) or the local array
-# Eligibility (halo_ok): bi must divide L (so block starts are exact)
-# and bi >= the stage halo (so only the edge blocks touch the buffers).
-# Callers fall back to the ext path otherwise.
+#   tail rows: the right COMPOSITE buffer (the local tail planes with the
+#              ppermuted right halo appended — see _halo_parts) when the
+#              read window crosses the local extent, else the local array
+# Block starts use the same overlapping-tail scheme as the ext kernels
+# (ob = min(b*bi, L-bi)), so bi need NOT divide L: the composite buffer
+# absorbs the tail reads of the last (and, when L % bi < halo, the
+# penultimate) block. Eligibility (halo_ok): bi >= the stage halo (so
+# interior blocks never touch the side buffers), L >= bi, and bi/L even
+# (static fine/coarse plane parity for the transfer kernels). Callers
+# fall back to the ext path otherwise.
 
 
 def halo_ok(L: int, bi: int, halo: int) -> bool:
-    return bi > 0 and L % bi == 0 and bi >= halo
+    # L == bi: single block, head/tail both come from the side buffers.
+    # Otherwise the overlapped last block (start L - bi) reads its head
+    # from local rows [L - bi - halo, L - bi), hence L >= bi + halo.
+    return (bi > 0 and bi % 2 == 0 and L % 2 == 0 and bi >= halo
+            and (L == bi or L >= bi + halo))
 
 
-def _tri_dma(local, lh, rh, dst, sem3, first, last, kl, mid, kr, lmid,
-             do_start):
+def _tri_dma(local, lh, rhc, dst, sem3, s, first, kl, mid, kr, L,
+             tail_local, do_start):
     """Assemble ``dst`` slab rows [0,kl)+[kl,kl+mid)+[kl+mid,+kr) from
-    (lh | local[lmid-kl:]) + local[lmid:] + (rh | local[lmid+mid:]).
-    All lengths static; ``do_start``: start() the copies, else wait()
-    (the waits reconstruct the same copies under the same predicates)."""
+    local rows [s-kl, s+mid+kr) with the out-of-range edges redirected:
+    head from ``lh`` on the first block, tail from the composite ``rhc``
+    (= local[L-tail_local:] ++ right halo, covering local-row coords
+    [L-tail_local, L+kr)) whenever s+mid+kr > L. All lengths static,
+    starts dynamic; ``do_start``: start() the copies, else wait() (the
+    waits reconstruct the same copies under the same predicates)."""
 
     def op(c):
         c.start() if do_start else c.wait()
@@ -718,39 +731,49 @@ def _tri_dma(local, lh, rh, dst, sem3, first, last, kl, mid, kr, lmid,
         @pl.when(jnp.logical_not(first))
         def _():
             op(pltpu.make_async_copy(
-                local.at[pl.ds(lmid - kl, kl)], dst.at[pl.ds(0, kl)],
+                local.at[pl.ds(s - kl, kl)], dst.at[pl.ds(0, kl)],
                 sem3.at[0]))
     op(pltpu.make_async_copy(
-        local.at[pl.ds(lmid, mid)], dst.at[pl.ds(kl, mid)], sem3.at[1]))
+        local.at[pl.ds(s, mid)], dst.at[pl.ds(kl, mid)], sem3.at[1]))
     if kr:
-        @pl.when(last)
-        def _():
-            op(pltpu.make_async_copy(
-                rh.at[pl.ds(0, kr)], dst.at[pl.ds(kl + mid, kr)],
-                sem3.at[2]))
+        t = s + mid
+        in_comp = t + kr > L
 
-        @pl.when(jnp.logical_not(last))
+        @pl.when(in_comp)
         def _():
             op(pltpu.make_async_copy(
-                local.at[pl.ds(lmid + mid, kr)], dst.at[pl.ds(kl + mid, kr)],
+                rhc.at[pl.ds(t - (L - tail_local), kr)],
+                dst.at[pl.ds(kl + mid, kr)], sem3.at[2]))
+
+        @pl.when(jnp.logical_not(in_comp))
+        def _():
+            op(pltpu.make_async_copy(
+                local.at[pl.ds(t, kr)], dst.at[pl.ds(kl + mid, kr)],
                 sem3.at[2]))
 
 
 def _make_halo_kernel(L, si, sj, sk, bi, halo, nb, n_in, body,
                       with_norm=False):
     """The _make_ext_kernel template with tri-source halo DMA: inputs
-    are n_in (local, lh, rh) triples; requires halo_ok(L, bi, halo).
-    ``body(slabs, g0, ob)`` -> out_slab (with_norm: (out_slab, part))."""
+    are n_in (local, lh, rhc) triples (rhc = the bi-plane composite
+    right buffer, _halo_parts); requires halo_ok(L, bi, halo). Block
+    starts overlap at the tail exactly like the ext template
+    (ob = min(b*bi, L-bi)), so bi need not divide L.
+    ``body(slabs, g0, blk, ob)`` -> out_slab (with_norm:
+    (out_slab, part); the body must mask its partial to the NOMINAL
+    window [blk*bi, min((blk+1)*bi, L)) so overlapped rows count once)."""
+
+    def ob_of(blk):
+        return jnp.minimum(blk * bi, L - bi)
 
     def in_tri(hbms, ins2, sem_i, v, slot, blk, do_start):
         _tri_dma(hbms[3 * v], hbms[3 * v + 1], hbms[3 * v + 2],
                  ins2.at[v, slot], sem_i.at[v, slot],
-                 blk == 0, blk == nb - 1, halo, bi, halo, blk * bi,
-                 do_start)
+                 ob_of(blk), blk == 0, halo, bi, halo, L, bi, do_start)
 
     def out_dma(out_hbm, tile2, sem_o, slot, blk):
         return pltpu.make_async_copy(
-            tile2.at[slot], out_hbm.at[pl.ds(blk * bi, bi)], sem_o.at[slot]
+            tile2.at[slot], out_hbm.at[pl.ds(ob_of(blk), bi)], sem_o.at[slot]
         )
 
     def kernel(gi0_ref, *refs):
@@ -784,11 +807,11 @@ def _make_halo_kernel(L, si, sj, sk, bi, halo, nb, n_in, body,
         for v in range(n_in):
             in_tri(hbms, ins2, sem_i, v, slot, i, False)
 
-        ob = i * bi
+        ob = ob_of(i)
         g0 = gi0_ref[0] + ob
         if with_norm:
             out_slab, part = body([ins2[v, slot] for v in range(n_in)],
-                                  g0, ob)
+                                  g0, i, ob)
 
             @pl.when(i == 0)
             def _():
@@ -800,7 +823,7 @@ def _make_halo_kernel(L, si, sj, sk, bi, halo, nb, n_in, body,
             def _():
                 nrm_ref[0, 0] = acc_ref[0, 0]
         else:
-            out_slab = body([ins2[v, slot] for v in range(n_in)], g0, ob)
+            out_slab = body([ins2[v, slot] for v in range(n_in)], g0, i, ob)
 
         @pl.when(i >= 2)
         def _():
@@ -856,14 +879,15 @@ def _halo_call(kernel, n_in, L, si, sj, sk, bi, halo, dtype,
 
 
 def rb_smooth_halo(u3, f3, gi0, h, n_iter, n, L, red_first=True, block_i=8):
-    """rb_smooth_ext without the ext copy: u3/f3 = (local, lh, rh) with
-    ``2*n_iter``-plane halo buffers. Requires halo_ok(L, block_i, 2*n_iter)."""
+    """rb_smooth_ext without the ext copy: u3/f3 = (local, lh, rhc)
+    triples from _halo_parts with a ``2*n_iter``-plane halo and a
+    block_i-plane composite tail. Requires halo_ok(L, block_i, 2*n_iter)."""
     _, sj, sk = u3[0].shape
     hh = 2 * n_iter
     rb = _rb_body(h, n_iter, red_first)
     si = block_i + 2 * hh
 
-    def body(slabs, g0, ob):
+    def body(slabs, g0, blk, ob):
         eu, ef = slabs
         interior, parity = _slab_masks(n, si, sj, sk, g0)
         return rb(eu, ef, interior, parity)
@@ -883,7 +907,7 @@ def rb_smooth_from_zero_halo(f3, gi0, h, n_iter, n, L, red_first=True,
     rb = _rb_body(h, n_iter, red_first)
     si = block_i + 2 * hh
 
-    def body(slabs, g0, ob):
+    def body(slabs, g0, blk, ob):
         (ef,) = slabs
         interior, parity = _slab_masks(n, si, sj, sk, g0)
         return rb(jnp.zeros_like(ef), ef, interior, parity)
@@ -904,7 +928,7 @@ def residual_df_norm_halo(uhi3, ulo3, fhi3, flo3, gi0, h, n, L, block_i=8):
     si = bi + 2
     nb = pl.cdiv(L, bi)
 
-    def body(slabs, g0, ob):
+    def body(slabs, g0, blk, ob):
         u_hi, u_lo, f_hi, f_lo = slabs
         interior, _ = _slab_masks(n, si, sj, sk, g0)
 
@@ -923,8 +947,10 @@ def residual_df_norm_halo(uhi3, ulo3, fhi3, flo3, gi0, h, n, L, block_i=8):
         z = jnp.zeros((1, sj, sk), r.dtype)
         r = jnp.concatenate([z, r, z], axis=0)
         r = jnp.where(interior, r, jnp.zeros_like(r))
+        # partial over the NOMINAL window so the overlapping tail block
+        # counts each row exactly once (matches the ext norm kernel)
         ll = jax.lax.broadcasted_iota(jnp.int32, (si, 1, 1), 0) + ob - 1
-        owned = (ll >= ob) & (ll < ob + bi)
+        owned = (ll >= blk * bi) & (ll < jnp.minimum((blk + 1) * bi, L))
         part = jnp.sum(jnp.where(owned, r * r, jnp.zeros_like(r)))
         return r, part
 
@@ -936,10 +962,13 @@ def residual_df_norm_halo(uhi3, ulo3, fhi3, flo3, gi0, h, n, L, block_i=8):
 
 
 def residual_restrict_halo(u3, f3, gi0, h, n, Lc, block_i=8):
-    """residual_restrict_ext without the ext copies: fine slab of block
-    b is stitched as head 2 rows (lh | local), mid 2*bi rows, tail 1 row
-    (rh | local). Requires block_i | Lc. lh = 2 left planes, rh = 1
-    right plane."""
+    """residual_restrict_ext without the ext copies: the fine slab of
+    coarse block b (start c = min(b*bi, Lc-bi)) is stitched as head 2
+    rows (lh | local), mid 2*bi rows, tail 1 row (rh | local). Requires
+    halo_ok(Lc, block_i, 1) — block_i need not divide Lc (the last block
+    overlaps; only it can read the right-halo plane, since for b < nb-1
+    the tail row 2c+2bi+1 <= 2*Lc-1 stays local). lh = 2 left planes,
+    rh = 1 right plane (plain — no composite needed here)."""
     nc = (n + 1) // 2
     L2, sj, sk = u3[0].shape
     _, sjc, _ = pk.padded_shape(nc)
@@ -949,15 +978,17 @@ def residual_restrict_halo(u3, f3, gi0, h, n, Lc, block_i=8):
     nb = pl.cdiv(Lc, bi)
     inv_h2 = 1.0 / (h * h)
 
+    def ob_of(blk):
+        return jnp.minimum(blk * bi, Lc - bi)
+
     def in_tri(hbms, ins2, sem_i, v, slot, blk, do_start):
         _tri_dma(hbms[3 * v], hbms[3 * v + 1], hbms[3 * v + 2],
                  ins2.at[v, slot], sem_i.at[v, slot],
-                 blk == 0, blk == nb - 1, 2, 2 * bi, 1, 2 * blk * bi,
-                 do_start)
+                 2 * ob_of(blk), blk == 0, 2, 2 * bi, 1, L2, 0, do_start)
 
     def out_dma(out_hbm, tile2, sem_o, slot, blk):
         return pltpu.make_async_copy(
-            tile2.at[slot], out_hbm.at[pl.ds(blk * bi, bi)], sem_o.at[slot]
+            tile2.at[slot], out_hbm.at[pl.ds(ob_of(blk), bi)], sem_o.at[slot]
         )
 
     def kernel(gi0_ref, *refs):
@@ -981,7 +1012,7 @@ def residual_restrict_halo(u3, f3, gi0, h, n, Lc, block_i=8):
         for v in range(2):
             in_tri(hbms, ins2, sem_i, v, slot, i, False)
 
-        ob = i * bi
+        ob = ob_of(i)
         g0 = gi0_ref[0] + 2 * ob
         eu = ins2[0, slot]
         ef = ins2[1, slot]
@@ -1046,9 +1077,13 @@ def residual_restrict_halo(u3, f3, gi0, h, n, Lc, block_i=8):
 
 def prolong_smooth_halo(ec3, e3, r3, gi0, h, n_iter, n, L, block_i=8):
     """prolong_smooth_ext without the ext copies. Fine streams carry
-    H = 2*n_iter halo buffers; the coarse stream lh has n_iter planes
-    and rh n_iter+1. Requires halo_ok(L, block_i, H) and block_i >= H+2
-    (the coarse tail of non-last blocks must stay local)."""
+    H = 2*n_iter halo buffers with a block_i-plane composite tail; the
+    coarse stream lh has n_iter planes and its composite tail block_i//2
+    local planes + n_iter+1 halo planes. Requires halo_ok(L, block_i, H)
+    and block_i >= H+2 (so the coarse head of non-first blocks stays
+    local: s/2 - n_iter >= 0 for s >= bi). block_i need not divide L —
+    the last block overlaps (its start L - block_i is even because L and
+    block_i are, keeping fine/coarse plane parity static)."""
     nc = (n + 1) // 2
     _, sj, sk = e3[0].shape
     Lc2, sjc, skc = ec3[0].shape
@@ -1059,21 +1094,24 @@ def prolong_smooth_halo(ec3, e3, r3, gi0, h, n_iter, n, L, block_i=8):
     nb = pl.cdiv(L, bi)
     h2 = h * h
 
+    def ob_of(blk):
+        return jnp.minimum(blk * bi, L - bi)  # even: L, bi even
+
     def in_tri_fine(hbms, ins2, sem_i, v, slot, blk, do_start):
         _tri_dma(hbms[3 * v], hbms[3 * v + 1], hbms[3 * v + 2],
                  ins2.at[v, slot], sem_i.at[v, slot],
-                 blk == 0, blk == nb - 1, H, bi, H, blk * bi, do_start)
+                 ob_of(blk), blk == 0, H, bi, H, L, bi, do_start)
 
     def in_tri_coarse(hbms, ec2, sem_c, slot, blk, do_start):
         # coarse slab rows: head n_iter + mid bi//2 + tail n_iter+1 = sic
         _tri_dma(hbms[0], hbms[1], hbms[2],
                  ec2.at[slot], sem_c.at[slot],
-                 blk == 0, blk == nb - 1, n_iter, bi // 2, n_iter + 1,
-                 blk * bi // 2, do_start)
+                 ob_of(blk) // 2, blk == 0, n_iter, bi // 2, n_iter + 1,
+                 Lc2, bi // 2, do_start)
 
     def out_dma(out_hbm, tile2, sem_o, slot, blk):
         return pltpu.make_async_copy(
-            tile2.at[slot], out_hbm.at[pl.ds(blk * bi, bi)], sem_o.at[slot]
+            tile2.at[slot], out_hbm.at[pl.ds(ob_of(blk), bi)], sem_o.at[slot]
         )
 
     def kernel(gi0_ref, *refs):
@@ -1101,8 +1139,7 @@ def prolong_smooth_halo(ec3, e3, r3, gi0, h, n_iter, n, L, block_i=8):
             in_tri_fine(fhbms, ins2, sem_i, v, slot, i, False)
         in_tri_coarse(chbms, ec2, sem_c, slot, i, False)
 
-        ob = i * bi
-        g0 = gi0_ref[0] + ob
+        g0 = gi0_ref[0] + ob_of(i)
         dtype = ins2.dtype
         pj = _prolong_band_j(sj, sjc, dtype)
         pkt = _prolong_band_kt(skc, sk, dtype)

@@ -50,7 +50,11 @@ from multigrid_parallel_tpu.ops.pallas3d import (
     _prolong_band_kt,
     _roll,
 )
-from multigrid_parallel_tpu.ops.pallas_sharded import _go_no_x64
+from multigrid_parallel_tpu.ops.pallas_sharded import (
+    _go_no_x64,
+    _tri_dma,
+    halo_ok,
+)
 
 HJ = 8  # fixed j halo (columns per side); covers n_smooth <= 4
 
@@ -697,3 +701,472 @@ def residual_df_norm_ext2d(uhi_ext, ulo_ext, fhi_ext, flo_ext, gij0, h, n, L,
     )
     r, nrm2 = _go_no_x64(call)(gij0, uhi_ext, ulo_ext, fhi_ext, flo_ext)
     return r, nrm2[0, 0]
+
+
+# ---------------- i-axis halo-DMA variants (j-ext stays materialized) --
+# The ext2d kernels read an array materialized with BOTH halos
+# concatenated on: _halo_ext_j(_halo_ext_i(x)) — i.e. TWO full extra
+# HBM write+read passes of every stream per stage (the 2D tier's
+# "pays the copy twice" tax, docs/SCALING.md). These variants drop the
+# i-axis concatenate the same way ops.pallas_sharded's 1D halo tier
+# does: inputs are (B, lh, rhc) triples where B is the J-EXTENDED local
+# array (the one remaining materialized copy — j stitching would need
+# sublane-tiled DMA windows per source, a further lever), lh/rhc are
+# small j-extended i-edge buffers, and each block's slab is assembled
+# in-kernel by _tri_dma with the same overlapping-tail block scheme
+# (ob = min(b*bi, L-bi); bi need not divide L). Corner (diagonal-
+# neighbor) values ride along because lh/rhc are ppermuted from the
+# already-j-extended B. Eligibility: halo_ok(L, bi, halo_i).
+
+
+def _make_halo2d_kernel(L, si, sje, sjl, sk, bi, halo_i, nb, n_in, body,
+                        with_norm=False):
+    """_make_ext2d_kernel with tri-source i-halo DMA: inputs are n_in
+    (B, lh, rhc) triples of j-extended arrays. ``body(slabs, g0, gj0,
+    blk, ob)`` -> out_slab (with_norm: (out_slab, part) — the body must
+    mask its partial to the NOMINAL window [blk*bi, min((blk+1)*bi, L))
+    so overlapped rows count once)."""
+
+    def ob_of(blk):
+        return jnp.minimum(blk * bi, L - bi)
+
+    def in_tri(hbms, ins2, sem_i, v, slot, blk, do_start):
+        _tri_dma(hbms[3 * v], hbms[3 * v + 1], hbms[3 * v + 2],
+                 ins2.at[v, slot], sem_i.at[v, slot],
+                 ob_of(blk), blk == 0, halo_i, bi, halo_i, L, bi, do_start)
+
+    def out_dma(out_hbm, tile2, sem_o, slot, blk):
+        return pltpu.make_async_copy(
+            tile2.at[slot], out_hbm.at[pl.ds(ob_of(blk), bi)], sem_o.at[slot]
+        )
+
+    def kernel(gij0_ref, *refs):
+        hbms = refs[: 3 * n_in]
+        out_hbm = refs[3 * n_in]
+        idx = 3 * n_in + 1
+        if with_norm:
+            nrm_ref = refs[idx]
+            idx += 1
+        ins2, tile2 = refs[idx], refs[idx + 1]
+        idx += 2
+        if with_norm:
+            acc_ref = refs[idx]
+            idx += 1
+        sem_i, sem_o = refs[idx], refs[idx + 1]
+
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            for v in range(n_in):
+                in_tri(hbms, ins2, sem_i, v, slot, i, True)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for v in range(n_in):
+                in_tri(hbms, ins2, sem_i, v, nslot, i + 1, True)
+
+        for v in range(n_in):
+            in_tri(hbms, ins2, sem_i, v, slot, i, False)
+
+        ob = ob_of(i)
+        g0 = gij0_ref[0] + ob
+        gj0 = gij0_ref[1]
+        if with_norm:
+            out_slab, part = body([ins2[v, slot] for v in range(n_in)],
+                                  g0, gj0, i, ob)
+
+            @pl.when(i == 0)
+            def _():
+                acc_ref[0, 0] = jnp.zeros((), ins2.dtype)
+
+            acc_ref[0, 0] = acc_ref[0, 0] + part
+
+            @pl.when(i == nb - 1)
+            def _():
+                nrm_ref[0, 0] = acc_ref[0, 0]
+        else:
+            out_slab = body([ins2[v, slot] for v in range(n_in)], g0, gj0,
+                            i, ob)
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i - 2).wait()
+
+        ins2[0, slot] = out_slab
+        tile2[slot] = ins2[0, slot, pl.ds(halo_i, bi), pl.ds(HJ, sjl)]
+        out_dma(out_hbm, tile2, sem_o, slot, i).start()
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i).wait()
+
+        @pl.when(jnp.logical_and(i == nb - 1, nb >= 2))
+        def _():
+            out_dma(out_hbm, tile2, sem_o, nslot, i - 1).wait()
+
+    return kernel
+
+
+def _halo2d_call(kernel, n_in, L, si, sje, sjl, sk, bi, dtype,
+                 with_norm=False):
+    out_shape = [jax.ShapeDtypeStruct((L, sjl, sk), dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if with_norm:
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), dtype))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    scratch = [
+        pltpu.VMEM((n_in, 2, si, sje, sk), dtype),
+        pltpu.VMEM((2, bi, sjl, sk), dtype),
+    ]
+    if with_norm:
+        scratch.append(pltpu.SMEM((1, 1), dtype))
+    scratch += [
+        pltpu.SemaphoreType.DMA((n_in, 2, 3)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    call = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(L, bi),),
+        out_shape=tuple(out_shape) if with_norm else out_shape[0],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (3 * n_in),
+        out_specs=tuple(out_specs) if with_norm else out_specs[0],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+    return _go_no_x64(call)
+
+
+def rb_smooth_halo2d(u3, f3, gij0, h, n_iter, n, L, sjl, red_first=True,
+                     block_i=8):
+    """rb_smooth_ext2d without the i-ext copy: u3/f3 = (B, lh, rhc)
+    triples of j-extended arrays with a 2*n_iter i halo and a
+    block_i-plane composite tail. Requires halo_ok(L, block_i, 2*n_iter)."""
+    _, sje, sk = u3[0].shape
+    hh = 2 * n_iter
+    si = block_i + 2 * hh
+    rb = _rb_body2d(h, n_iter, red_first, n, si, sje, sk)
+
+    def body(slabs, g0, gj0, blk, ob):
+        eu, ef = slabs
+        return rb(eu, ef, g0, gj0)
+
+    nb = pl.cdiv(L, block_i)
+    kernel = _make_halo2d_kernel(L, si, sje, sjl, sk, block_i, hh, nb, 2,
+                                 body)
+    return _halo2d_call(kernel, 2, L, si, sje, sjl, sk, block_i,
+                        u3[0].dtype)(gij0, *u3, *f3)
+
+
+def rb_smooth_from_zero_halo2d(f3, gij0, h, n_iter, n, L, sjl,
+                               red_first=True, block_i=8):
+    """rb_smooth_halo2d with an implicit zero initial guess."""
+    _, sje, sk = f3[0].shape
+    hh = 2 * n_iter
+    si = block_i + 2 * hh
+    rb = _rb_body2d(h, n_iter, red_first, n, si, sje, sk)
+
+    def body(slabs, g0, gj0, blk, ob):
+        (ef,) = slabs
+        return rb(jnp.zeros_like(ef), ef, g0, gj0)
+
+    nb = pl.cdiv(L, block_i)
+    kernel = _make_halo2d_kernel(L, si, sje, sjl, sk, block_i, hh, nb, 1,
+                                 body)
+    return _halo2d_call(kernel, 1, L, si, sje, sjl, sk, block_i,
+                        f3[0].dtype)(gij0, *f3)
+
+
+def residual_df_norm_halo2d(uhi3, ulo3, fhi3, flo3, gij0, h, n, L, sjl,
+                            block_i=8):
+    """residual_df_norm_ext2d without the i-ext copies (1-plane i-halo
+    buffers). Returns (r_local, partial ||r||^2 over owned rows+cols)."""
+    _, sje, sk = uhi3[0].shape
+    inv_h2 = 1.0 / (h * h)
+    bi = block_i
+    si = bi + 2
+    nb = pl.cdiv(L, bi)
+
+    def body(slabs, g0, gj0, blk, ob):
+        u_hi, u_lo, f_hi, f_lo = slabs
+        interior, _ = _slab_masks2d(n, si, sje, sk, g0, gj0)
+
+        def slab_nbrs(e):
+            x = e[1:-1]
+            return x, [
+                e[:-2], e[2:],
+                _roll(x, 1, 1), _roll(x, -1, 1),
+                _roll(x, 1, 2), _roll(x, -1, 2),
+            ]
+
+        hi_c, hi_n = slab_nbrs(u_hi)
+        lo_c, lo_n = slab_nbrs(u_lo)
+        r = _eft_residual(f_hi[1:-1], f_lo[1:-1], hi_c, hi_n, lo_c, lo_n,
+                          inv_h2)
+        z = jnp.zeros((1, sje, sk), r.dtype)
+        r = jnp.concatenate([z, r, z], axis=0)
+        r = jnp.where(interior, r, jnp.zeros_like(r))
+        ll = jax.lax.broadcasted_iota(jnp.int32, (si, 1, 1), 0) + ob - 1
+        owned_i = (ll >= blk * bi) & (ll < jnp.minimum((blk + 1) * bi, L))
+        jj = jax.lax.broadcasted_iota(jnp.int32, (1, sje, 1), 1)
+        owned_j = (jj >= HJ) & (jj < HJ + sjl)
+        part = jnp.sum(jnp.where(owned_i & owned_j, r * r,
+                                 jnp.zeros_like(r)))
+        return r, part
+
+    kernel = _make_halo2d_kernel(L, si, sje, sjl, sk, bi, 1, nb, 4, body,
+                                 with_norm=True)
+    r, nrm2 = _halo2d_call(kernel, 4, L, si, sje, sjl, sk, bi,
+                           uhi3[0].dtype, with_norm=True)(
+        gij0, *uhi3, *ulo3, *fhi3, *flo3)
+    return r, nrm2[0, 0]
+
+
+def residual_restrict_halo2d(u3, f3, gij0, h, n, Lc, sjlc, skc, block_i=8):
+    """residual_restrict_ext2d without the i-ext copies: the fine slab of
+    coarse block b (start c = min(b*bi, Lc-bi)) is stitched from the
+    j-extended triples as head 2 / mid 2*bi / tail 1 rows (the tail can
+    only cross into the right buffer on the last block — see
+    pallas_sharded.residual_restrict_halo). Requires halo_ok(Lc, bi, 1)."""
+    nc = (n + 1) // 2
+    L2, sje, sk = u3[0].shape
+    bi = block_i
+    si = 2 * bi + 3
+    nb = pl.cdiv(Lc, bi)
+    inv_h2 = 1.0 / (h * h)
+
+    def ob_of(blk):
+        return jnp.minimum(blk * bi, Lc - bi)
+
+    def in_tri(hbms, ins2, sem_i, v, slot, blk, do_start):
+        _tri_dma(hbms[3 * v], hbms[3 * v + 1], hbms[3 * v + 2],
+                 ins2.at[v, slot], sem_i.at[v, slot],
+                 2 * ob_of(blk), blk == 0, 2, 2 * bi, 1, L2, 0, do_start)
+
+    def out_dma(out_hbm, tile2, sem_o, slot, blk):
+        return pltpu.make_async_copy(
+            tile2.at[slot], out_hbm.at[pl.ds(ob_of(blk), bi)], sem_o.at[slot]
+        )
+
+    def kernel(gij0_ref, *refs):
+        hbms = refs[:6]
+        out_hbm = refs[6]
+        ins2, tile2, sem_i, sem_o = refs[7:]
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            for v in range(2):
+                in_tri(hbms, ins2, sem_i, v, slot, i, True)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for v in range(2):
+                in_tri(hbms, ins2, sem_i, v, nslot, i + 1, True)
+
+        for v in range(2):
+            in_tri(hbms, ins2, sem_i, v, slot, i, False)
+
+        ob = ob_of(i)
+        g0 = gij0_ref[0] + 2 * ob
+        gj0 = gij0_ref[1]
+        eu = ins2[0, slot]
+        ef = ins2[1, slot]
+        interior, _ = _slab_masks2d(n, si, sje, sk, g0, gj0)
+        nbr, cen = pk._nbr_sum(eu)
+        rr = ef[1:-1] - inv_h2 * (nbr - 6.0 * cen)
+        rr = jnp.where(interior[1:-1], rr, jnp.zeros_like(rr))
+
+        dtype = rr.dtype
+        gcj0 = (gij0_ref[1] + HJ) // 2
+        aj = _restrict_band_j2d(sjlc, sje, gcj0, nc, dtype)
+        ak_t = _band_matrix(skc, sk, nc - 2, dtype).T
+        kk = jax.lax.broadcasted_iota(jnp.int32, (sjlc, skc), 1)
+        colmask = (kk >= 1) & (kk <= nc - 2)
+        gc0 = (gij0_ref[0] + 2) // 2 + ob
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i - 2).wait()
+
+        for t in range(bi):
+            plane = 0.25 * rr[2 * t] + 0.5 * rr[2 * t + 1] + 0.25 * rr[2 * t + 2]
+            y = jnp.dot(aj, plane, precision=jax.lax.Precision.HIGHEST)
+            z = jnp.dot(y, ak_t, precision=jax.lax.Precision.HIGHEST)
+            row_g = gc0 + t
+            ok = jnp.logical_and(row_g >= 1, row_g <= nc - 2)
+            tile2[slot, t] = jnp.where(
+                jnp.logical_and(ok, colmask), z, jnp.zeros_like(z)
+            )
+
+        out_dma(out_hbm, tile2, sem_o, slot, i).start()
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i).wait()
+
+        @pl.when(jnp.logical_and(i == nb - 1, nb >= 2))
+        def _():
+            out_dma(out_hbm, tile2, sem_o, nslot, i - 1).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((Lc, sjlc, skc), u3[0].dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, si, sje, sk), u3[0].dtype),
+            pltpu.VMEM((2, bi, sjlc, skc), u3[0].dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+    return _go_no_x64(call)(gij0, *u3, *f3)
+
+
+def prolong_smooth_halo2d(ec3, e3, r3, gij0, h, n_iter, n, L, sjl,
+                          block_i=8):
+    """prolong_smooth_ext2d without the i-ext copies. Fine triples carry
+    H = 2*n_iter i-halo buffers with a block_i-plane composite tail; the
+    coarse triple lh has n_iter rows and its composite tail block_i//2
+    local rows + n_iter+1 halo rows (all j-extended). Requires
+    halo_ok(L, block_i, H) and block_i >= H+2."""
+    nc = (n + 1) // 2
+    _, sje, sk = e3[0].shape
+    Lc2, sjec, skc = ec3[0].shape
+    bi = block_i
+    H = 2 * n_iter
+    si = bi + 2 * H
+    sic = si // 2 + 1
+    nb = pl.cdiv(L, bi)
+    h2 = h * h
+
+    def ob_of(blk):
+        return jnp.minimum(blk * bi, L - bi)  # even: L, bi even
+
+    def in_tri_fine(hbms, ins2, sem_i, v, slot, blk, do_start):
+        _tri_dma(hbms[3 * v], hbms[3 * v + 1], hbms[3 * v + 2],
+                 ins2.at[v, slot], sem_i.at[v, slot],
+                 ob_of(blk), blk == 0, H, bi, H, L, bi, do_start)
+
+    def in_tri_coarse(hbms, ec2, sem_c, slot, blk, do_start):
+        _tri_dma(hbms[0], hbms[1], hbms[2],
+                 ec2.at[slot], sem_c.at[slot],
+                 ob_of(blk) // 2, blk == 0, n_iter, bi // 2, n_iter + 1,
+                 Lc2, bi // 2, do_start)
+
+    def out_dma(out_hbm, tile2, sem_o, slot, blk):
+        return pltpu.make_async_copy(
+            tile2.at[slot], out_hbm.at[pl.ds(ob_of(blk), bi)], sem_o.at[slot]
+        )
+
+    def kernel(gij0_ref, *refs):
+        chbms = refs[:3]
+        fhbms = refs[3:9]
+        out_hbm = refs[9]
+        ins2, ec2, tile2, sem_i, sem_c, sem_o = refs[10:]
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            for v in range(2):
+                in_tri_fine(fhbms, ins2, sem_i, v, slot, i, True)
+            in_tri_coarse(chbms, ec2, sem_c, slot, i, True)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for v in range(2):
+                in_tri_fine(fhbms, ins2, sem_i, v, nslot, i + 1, True)
+            in_tri_coarse(chbms, ec2, sem_c, nslot, i + 1, True)
+
+        for v in range(2):
+            in_tri_fine(fhbms, ins2, sem_i, v, slot, i, False)
+        in_tri_coarse(chbms, ec2, sem_c, slot, i, False)
+
+        g0 = gij0_ref[0] + ob_of(i)
+        gj0 = gij0_ref[1]
+        dtype = ins2.dtype
+        pj = _prolong_band_j2d(sje, sjec, dtype)
+        pkt = _prolong_band_kt(skc, sk, dtype)
+
+        yc = []
+        for c in range(sic):
+            y = jnp.dot(pj, ec2[slot, c], precision=jax.lax.Precision.HIGHEST)
+            yc.append(jnp.dot(y, pkt, precision=jax.lax.Precision.HIGHEST))
+        corr = []
+        for q in range(si):
+            if q % 2 == 0:
+                corr.append(yc[q // 2])
+            else:
+                corr.append(0.5 * (yc[q // 2] + yc[q // 2 + 1]))
+        corr = jnp.stack(corr, axis=0)
+        eu = ins2[0, slot] + corr
+
+        interior, parity = _slab_masks2d(n, si, sje, sk, g0, gj0)
+        ef = ins2[1, slot]
+        masks = {c: interior[1:-1] & (parity[1:-1] == c)
+                 for c in (pk.BLACK, pk.RED)}
+        h2ef = h2 * ef[1:-1]
+        for _ in range(n_iter):
+            for c in (pk.BLACK, pk.RED):  # postSmoother order
+                nbr, cen = pk._nbr_sum(eu)
+                upd = (nbr - h2ef) * (1.0 / 6.0)
+                mid = jnp.where(masks[c], upd, cen)
+                eu = jnp.concatenate([eu[:1], mid, eu[-1:]], axis=0)
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i - 2).wait()
+
+        ins2[0, slot] = eu
+        tile2[slot] = ins2[0, slot, pl.ds(H, bi), pl.ds(HJ, sjl)]
+        out_dma(out_hbm, tile2, sem_o, slot, i).start()
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i).wait()
+
+        @pl.when(jnp.logical_and(i == nb - 1, nb >= 2))
+        def _():
+            out_dma(out_hbm, tile2, sem_o, nslot, i - 1).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((L, sjl, sk), e3[0].dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 9,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, si, sje, sk), e3[0].dtype),
+            pltpu.VMEM((2, sic, sjec, skc), e3[0].dtype),
+            pltpu.VMEM((2, bi, sjl, sk), e3[0].dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+    return _go_no_x64(call)(gij0, *ec3, *e3, *r3)

@@ -40,6 +40,7 @@ from multigrid_parallel_tpu.ops import pallas_sharded as px1
 from multigrid_parallel_tpu.ops import pallas_sharded2d as px2
 from multigrid_parallel_tpu.ops import stencils_3d as ops3
 from multigrid_parallel_tpu.parallel.sharded import _perm_bwd, _perm_fwd
+from multigrid_parallel_tpu.parallel.sharded_padded import _halo_bi
 from multigrid_parallel_tpu.parallel.sharded2d import (
     ShardPlan2D,
     _prolong_band_local_np,
@@ -88,6 +89,26 @@ def _halo_ext_j(x, axis: str, nd: int, k: int):
     left = jax.lax.ppermute(x[:, -k:], axis, _perm_fwd(nd))
     right = jax.lax.ppermute(x[:, :k], axis, _perm_bwd(nd))
     return jnp.concatenate([left, x, right], axis=1)
+
+
+def _halo_parts2d(x, plan: ShardPlan2D, kl: int, kr: int,
+                  tail_local: int = 0):
+    """(B, lh, rhc) for the i-halo-DMA 2D kernels (ops.pallas_sharded2d
+    *_halo2d): B is the J-EXTENDED local array — the one remaining
+    materialized copy, replacing the ext2d tier's TWO concatenated
+    copies (i-ext then j-ext, docs/SCALING.md's double tax) — and
+    lh/rhc are small j-extended i-edge buffers assembled in-kernel by
+    tri-source DMA. Corner (diagonal-neighbor) values are correct
+    because the i ppermute happens AFTER the j extension. ``tail_local``
+    prepends that many local tail rows to rhc (the composite the
+    overlapped last block reads — see pallas_sharded._tri_dma)."""
+    ax_i, ax_j = plan.axes
+    B = _halo_ext_j(x, ax_j, plan.ny, px2.HJ)
+    lh = jax.lax.ppermute(B[-kl:], ax_i, _perm_fwd(plan.nx))
+    rh = jax.lax.ppermute(B[:kr], ax_i, _perm_bwd(plan.nx))
+    if tail_local:
+        rh = jnp.concatenate([B[B.shape[0] - tail_local:], rh], axis=0)
+    return (B, lh, rh)
 
 
 def _gij0(plan: ShardPlan2D, depth: int, halo_i: int):
@@ -409,7 +430,25 @@ def _build_local_cycle2d(
         # --- pre-smooth (red-first)
         bi_s = px2.ext2d_block_i(Li, sje, sk, H, 2, requested=block_i) \
             if pal else 0
-        if bi_s:
+        bi_sh = _halo_bi(bi_s, Li, H)
+        if bi_sh:
+            # i-halo-DMA tier: the j-ext copy remains; the i-ext
+            # concatenate is replaced by in-kernel tri-source DMA
+            bi_s = bi_sh
+            g = _gij0(plan, depth, H)
+            if from_zero:
+                e = px2.rb_smooth_from_zero_halo2d(
+                    _halo_parts2d(r, plan, H, H, bi_s), g, h, n_smooth,
+                    n, Li, Lj, red_first=True, block_i=bi_s,
+                )
+            else:
+                e = px2.rb_smooth_halo2d(
+                    _halo_parts2d(e, plan, H, H, bi_s),
+                    _halo_parts2d(r, plan, H, H, bi_s),
+                    g, h, n_smooth, n, Li, Lj,
+                    red_first=True, block_i=bi_s,
+                )
+        elif bi_s:
             g = _gij0(plan, depth, H)
             if from_zero:
                 e = px2.rb_smooth_from_zero_ext2d(
@@ -428,7 +467,16 @@ def _build_local_cycle2d(
 
         # --- residual + restrict
         bi_r = px2.restrict2d_block_i(Li // 2, sje, sk) if pal else 0
-        if bi_r:
+        bi_rh = _halo_bi(bi_r, Li // 2, 1)
+        if bi_rh:
+            skc = cp._coarse_k_width(n, sk)
+            rc = px2.residual_restrict_halo2d(
+                _halo_parts2d(e, plan, 2, 1),
+                _halo_parts2d(r, plan, 2, 1),
+                _gij0(plan, depth, 2), h, n,
+                Li // 2, Lj // 2, skc, block_i=bi_rh,
+            )
+        elif bi_r:
             skc = cp._coarse_k_width(n, sk)
             rc = px2.residual_restrict_ext2d(
                 ext2(e, 2), ext2(r, 2), _gij0(plan, depth, 2), h, n,
@@ -446,7 +494,16 @@ def _build_local_cycle2d(
         # --- prolong + correct + post-smooth (black-first)
         bi_p = px2.prolong2d_block_i(Li, sje, sk, n_smooth,
                                      requested=block_i) if pal else 0
-        if bi_p:
+        bi_ph = _halo_bi(bi_p, Li, H + 2)
+        if bi_ph:
+            e = px2.prolong_smooth_halo2d(
+                _halo_parts2d(ec, plan, n_smooth, n_smooth + 1, bi_ph // 2),
+                _halo_parts2d(e, plan, H, H, bi_ph),
+                _halo_parts2d(r, plan, H, H, bi_ph),
+                _gij0(plan, depth, H), h, n_smooth, n, Li, Lj,
+                block_i=bi_ph,
+            )
+        elif bi_p:
             hc = H // 2 + 1
             ec_ext = _halo_ext_j(
                 _halo_ext_i(ec, ax_i, plan.nx, hc), ax_j, plan.ny, px2.HJ
@@ -546,8 +603,15 @@ def make_sharded2d_padded_df_solver(
         bi = px2.ext2d_block_i(Li0, sje, sk, 1, 4, requested=block_i)
         # min_lj=HJ: this kernel needs only the fine one-neighbor halo
         # (no coarse ext), hence the looser bound vs the cycle kernels.
-        if bi and _use_pallas2d(n, Li0, Lj0, 1, jnp_level_max,
-                                min_lj=px2.HJ):
+        bi_h = _halo_bi(bi, Li0, 1)
+        use2d = _use_pallas2d(n, Li0, Lj0, 1, jnp_level_max, min_lj=px2.HJ)
+        if bi_h and use2d:
+            parts = [_halo_parts2d(a, plan, 1, 1, bi_h)
+                     for a in (u_hi, u_lo, f_hi, f_lo)]
+            r, part = px2.residual_df_norm_halo2d(
+                *parts, _gij0(plan, 0, 1), h, n, Li0, Lj0, block_i=bi_h,
+            )
+        elif bi and use2d:
             def ext2(x):
                 return _halo_ext_j(
                     _halo_ext_i(x, ax_i, plan.nx, 1), ax_j, plan.ny, px2.HJ

@@ -70,23 +70,31 @@ def _gi0(axis: str, L: int, halo: int):
 
 
 def _halo_bi(bi0: int, L: int, min_halo: int = 0) -> int:
-    """Largest block_i <= bi0 that divides L (and covers min_halo) — the
-    halo-DMA kernels need exact block starts; a smaller dividing block
-    beats falling back to the ext-materializing path."""
-    for bi in (bi0, 16, 8, 4, 2):
-        if 0 < bi <= bi0 and L % bi == 0 and bi >= min_halo:
+    """Largest block_i <= bi0 eligible for the halo-DMA kernels
+    (px.halo_ok): even, covers min_halo, and L >= bi + min_halo (the
+    kernels use the same overlapping-tail block scheme as the ext tier,
+    so bi need NOT divide L)."""
+    for bi in (bi0, 16, 12, 8, 6, 4, 2):
+        if 0 < bi <= bi0 and px.halo_ok(L, bi, min_halo):
             return bi
     return 0
 
 
-def _halo_parts(x, axis: str, n_dev: int, kl: int, kr: int):
-    """(x, lh, rh) for the halo-DMA kernels (ops.pallas_sharded
+def _halo_parts(x, axis: str, n_dev: int, kl: int, kr: int,
+                tail_local: int = 0):
+    """(x, lh, rhc) for the halo-DMA kernels (ops.pallas_sharded
     *_halo): ONLY the kl/kr edge planes are ppermuted — the body is
     read in-kernel straight from the local array, eliminating the
     (L+2H)-plane extended copy _halo_ext materializes per stage (the
-    round-3 1.14-1.26x distributed tax, docs/SCALING.md)."""
+    round-3 1.14-1.26x distributed tax, docs/SCALING.md). ``tail_local``
+    (the kernel's block size, or block//2 for a coarse stream) prepends
+    that many local tail planes to the right-halo buffer, forming the
+    composite the kernels' overlapped last blocks read their tail rows
+    from (px._tri_dma)."""
     lh = jax.lax.ppermute(x[-kl:], axis, _perm_fwd(n_dev))
     rh = jax.lax.ppermute(x[:kr], axis, _perm_bwd(n_dev))
+    if tail_local:
+        rh = jnp.concatenate([x[x.shape[0] - tail_local:], rh], axis=0)
     return (x, lh, rh)
 
 
@@ -302,13 +310,13 @@ def _build_local_cycle(
             g = _gi0(axis, L, H)
             if from_zero:
                 e = px.rb_smooth_from_zero_halo(
-                    _halo_parts(r, axis, n_dev, H, H), g, h, n_smooth, n, L,
-                    red_first=True, block_i=bi_s,
+                    _halo_parts(r, axis, n_dev, H, H, bi_s), g, h, n_smooth,
+                    n, L, red_first=True, block_i=bi_s,
                 )
             else:
                 e = px.rb_smooth_halo(
-                    _halo_parts(e, axis, n_dev, H, H),
-                    _halo_parts(r, axis, n_dev, H, H),
+                    _halo_parts(e, axis, n_dev, H, H, bi_s),
+                    _halo_parts(r, axis, n_dev, H, H, bi_s),
                     g, h, n_smooth, n, L, red_first=True, block_i=bi_s,
                 )
         elif bi_s:
@@ -330,7 +338,7 @@ def _build_local_cycle(
 
         # --- residual + restrict
         bi_r = px.restrict_ext_block_i(L // 2, sj, sk) if pal else 0
-        bi_rh = _halo_bi(bi_r, L // 2)
+        bi_rh = _halo_bi(bi_r, L // 2, 1)
         if bi_rh:
             rc = px.residual_restrict_halo(
                 _halo_parts(e, axis, n_dev, 2, 1),
@@ -360,9 +368,10 @@ def _build_local_cycle(
         bi_ph = _halo_bi(bi_p, L, H + 2)
         if bi_ph:
             e = px.prolong_smooth_halo(
-                _halo_parts(ec, axis, n_dev, n_smooth, n_smooth + 1),
-                _halo_parts(e, axis, n_dev, H, H),
-                _halo_parts(r, axis, n_dev, H, H),
+                _halo_parts(ec, axis, n_dev, n_smooth, n_smooth + 1,
+                            bi_ph // 2),
+                _halo_parts(e, axis, n_dev, H, H, bi_ph),
+                _halo_parts(r, axis, n_dev, H, H, bi_ph),
                 _gi0(axis, L, H), h, n_smooth, n, L, block_i=bi_ph,
             )
         elif bi_p:
@@ -506,7 +515,7 @@ def make_sharded_df_solver(
         bi = px.ext_block_i(L0, sj, sk, 1, 4, requested=block_i)
         bi_h = _halo_bi(bi, L0, 1)
         if bi_h and n > jnp_level_max:
-            parts = [_halo_parts(a, axis, n_dev, 1, 1)
+            parts = [_halo_parts(a, axis, n_dev, 1, 1, bi_h)
                      for a in (u_hi, u_lo, f_hi, f_lo)]
             r, part = px.residual_df_norm_halo(
                 *parts, _gi0(axis, L0, 1), h, n, L0, block_i=bi_h
