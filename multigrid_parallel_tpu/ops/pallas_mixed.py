@@ -711,3 +711,265 @@ def mixed_prolong_smooth_ext(ec_ext, u_ext, f_ext, pin, gi0, h, n_iter, n,
             return call(*args)
 
     return go(gi0, pin, ec_ext, u_ext, f_ext)
+
+
+# ------------------- halo-DMA variants (no ext-array materialization)
+# The mixed twins of ops.pallas_sharded's halo tier: (local, lh, rhc)
+# triples + in-kernel tri-source DMA (pallas_sharded._tri_dma) with the
+# overlapping-tail block scheme, plus the (2, SJ, SK) pin-plane VMEM
+# input. Eligibility: pallas_sharded.halo_ok(L, bi, halo).
+
+
+def _make_mixed_halo_kernel(L, si, sj, sk, bi, halo, nb, n_in, body):
+    """_make_mixed_ext_kernel with tri-source halo DMA (inputs are n_in
+    (local, lh, rhc) triples)."""
+    from multigrid_parallel_tpu.ops.pallas_sharded import _tri_dma
+
+    def ob_of(blk):
+        return jnp.minimum(blk * bi, L - bi)
+
+    def in_tri(hbms, ins2, sem_i, v, slot, blk, do_start):
+        _tri_dma(hbms[3 * v], hbms[3 * v + 1], hbms[3 * v + 2],
+                 ins2.at[v, slot], sem_i.at[v, slot],
+                 ob_of(blk), blk == 0, halo, bi, halo, L, bi, do_start)
+
+    def out_dma(out_hbm, tile2, sem_o, slot, blk):
+        return pltpu.make_async_copy(
+            tile2.at[slot], out_hbm.at[pl.ds(ob_of(blk), bi)], sem_o.at[slot]
+        )
+
+    def kernel(gi0_ref, pin_ref, *refs):
+        hbms = refs[: 3 * n_in]
+        out_hbm = refs[3 * n_in]
+        ins2, tile2, sem_i, sem_o = refs[3 * n_in + 1 :]
+        i = pl.program_id(0)
+        slot = i % 2
+        nslot = (i + 1) % 2
+
+        @pl.when(i == 0)
+        def _():
+            for v in range(n_in):
+                in_tri(hbms, ins2, sem_i, v, slot, i, True)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for v in range(n_in):
+                in_tri(hbms, ins2, sem_i, v, nslot, i + 1, True)
+
+        for v in range(n_in):
+            in_tri(hbms, ins2, sem_i, v, slot, i, False)
+
+        g0 = gi0_ref[0] + ob_of(i)
+        out_slab = body([ins2[v, slot] for v in range(n_in)], g0,
+                        pin_ref[0], pin_ref[1])
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i - 2).wait()
+
+        ins2[0, slot] = out_slab
+        tile2[slot] = ins2[0, slot, pl.ds(halo, bi)]
+        out_dma(out_hbm, tile2, sem_o, slot, i).start()
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i).wait()
+
+        @pl.when(jnp.logical_and(i == nb - 1, nb >= 2))
+        def _():
+            out_dma(out_hbm, tile2, sem_o, nslot, i - 1).wait()
+
+    return kernel
+
+
+def _mixed_halo_call(kernel, n_in, L, si, sj, sk, bi, dtype):
+    call = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(L, bi),),
+        out_shape=jax.ShapeDtypeStruct((L, sj, sk), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (3 * n_in),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((n_in, 2, si, sj, sk), dtype),
+            pltpu.VMEM((2, bi, sj, sk), dtype),
+            pltpu.SemaphoreType.DMA((n_in, 2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+
+    def go(*args):
+        with jax.enable_x64(False):
+            return call(*args)
+
+    return go
+
+
+def mixed_rb_smooth_halo(u3, f3, pin, gi0, h, n_iter, n, L,
+                         red_first=True, block_i=8):
+    """mixed_rb_smooth_ext without the ext copies (triples from
+    sharded_padded._halo_parts with tail_local=block_i)."""
+    _, sj, sk = u3[0].shape
+    hh = 2 * n_iter
+    si = block_i + 2 * hh
+    nb = pl.cdiv(L, block_i)
+    rb = _mixed_rb_body(h, n_iter, red_first, n, si, sj, sk)
+
+    def body(slabs, g0, pin0, pin1):
+        eu, ef = slabs
+        return rb(eu, ef, g0, pin0, pin1)
+
+    kernel = _make_mixed_halo_kernel(L, si, sj, sk, block_i, hh, nb, 2, body)
+    return _mixed_halo_call(kernel, 2, L, si, sj, sk, block_i,
+                            u3[0].dtype)(gi0, pin, *u3, *f3)
+
+
+def mixed_rb_smooth_from_zero_halo(f3, pin, gi0, h, n_iter, n, L,
+                                   red_first=True, block_i=8):
+    """mixed_rb_smooth_halo with an implicit zero initial guess."""
+    _, sj, sk = f3[0].shape
+    hh = 2 * n_iter
+    si = block_i + 2 * hh
+    nb = pl.cdiv(L, block_i)
+    rb = _mixed_rb_body(h, n_iter, red_first, n, si, sj, sk)
+
+    def body(slabs, g0, pin0, pin1):
+        (ef,) = slabs
+        return rb(jnp.zeros_like(ef), ef, g0, pin0, pin1)
+
+    kernel = _make_mixed_halo_kernel(L, si, sj, sk, block_i, hh, nb, 1, body)
+    return _mixed_halo_call(kernel, 1, L, si, sj, sk, block_i,
+                            f3[0].dtype)(gi0, pin, *f3)
+
+
+def mixed_prolong_smooth_halo(ec3, u3, f3, pin, gi0, h, n_iter, n, L,
+                              block_i=8):
+    """mixed_prolong_smooth_ext without the ext copies: fine triples
+    carry H = 2*n_iter halo buffers (tail_local=block_i), the coarse
+    triple n_iter/n_iter+1 (tail_local=block_i//2). Requires
+    halo_ok(L, block_i, H) and block_i >= H+2."""
+    from multigrid_parallel_tpu.ops.pallas_sharded import _tri_dma
+
+    nc = (n + 1) // 2
+    _, sj, sk = u3[0].shape
+    Lc2, sjc, skc = ec3[0].shape
+    bi = block_i
+    H = 2 * n_iter
+    si = bi + 2 * H
+    sic = si // 2 + 1
+    nb = pl.cdiv(L, bi)
+    rb = _mixed_rb_body(h, n_iter, False, n, si, sj, sk)
+
+    def ob_of(blk):
+        return jnp.minimum(blk * bi, L - bi)  # even: L, bi even
+
+    def in_tri_fine(hbms, ins2, sem_i, v, slot, blk, do_start):
+        _tri_dma(hbms[3 * v], hbms[3 * v + 1], hbms[3 * v + 2],
+                 ins2.at[v, slot], sem_i.at[v, slot],
+                 ob_of(blk), blk == 0, H, bi, H, L, bi, do_start)
+
+    def in_tri_coarse(hbms, ec2, sem_c, slot, blk, do_start):
+        _tri_dma(hbms[0], hbms[1], hbms[2],
+                 ec2.at[slot], sem_c.at[slot],
+                 ob_of(blk) // 2, blk == 0, n_iter, bi // 2, n_iter + 1,
+                 Lc2, bi // 2, do_start)
+
+    def out_dma(out_hbm, tile2, sem_o, slot, blk):
+        return pltpu.make_async_copy(
+            tile2.at[slot], out_hbm.at[pl.ds(ob_of(blk), bi)], sem_o.at[slot]
+        )
+
+    def kernel(gi0_ref, pin_ref, *refs):
+        chbms = refs[:3]
+        fhbms = refs[3:9]
+        out_hbm = refs[9]
+        ins2, ec2, tile2, sem_i, sem_c, sem_o = refs[10:]
+        i = pl.program_id(0)
+        slot = i % 2
+        nslot = (i + 1) % 2
+
+        @pl.when(i == 0)
+        def _():
+            for v in range(2):
+                in_tri_fine(fhbms, ins2, sem_i, v, slot, i, True)
+            in_tri_coarse(chbms, ec2, sem_c, slot, i, True)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for v in range(2):
+                in_tri_fine(fhbms, ins2, sem_i, v, nslot, i + 1, True)
+            in_tri_coarse(chbms, ec2, sem_c, nslot, i + 1, True)
+
+        for v in range(2):
+            in_tri_fine(fhbms, ins2, sem_i, v, slot, i, False)
+        in_tri_coarse(chbms, ec2, sem_c, slot, i, False)
+
+        g0 = gi0_ref[0] + ob_of(i)
+        dtype = ins2.dtype
+        pj = _prolong_band_j(sj, sjc, dtype)
+        pkt = _prolong_band_kt(skc, sk, dtype)
+
+        yc = []
+        for c in range(sic):
+            y = jnp.dot(pj, ec2[slot, c], precision=jax.lax.Precision.HIGHEST)
+            yc.append(jnp.dot(y, pkt, precision=jax.lax.Precision.HIGHEST))
+        corr = []
+        for q in range(si):
+            if q % 2 == 0:
+                corr.append(yc[q // 2])
+            else:
+                corr.append(0.5 * (yc[q // 2] + yc[q // 2 + 1]))
+        corr = jnp.stack(corr, axis=0)
+        eu = ins2[0, slot] + corr
+        eu = rb(eu, ins2[1, slot], g0, pin_ref[0], pin_ref[1])
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i - 2).wait()
+
+        ins2[0, slot] = eu
+        tile2[slot] = ins2[0, slot, pl.ds(H, bi)]
+        out_dma(out_hbm, tile2, sem_o, slot, i).start()
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_dma(out_hbm, tile2, sem_o, slot, i).wait()
+
+        @pl.when(jnp.logical_and(i == nb - 1, nb >= 2))
+        def _():
+            out_dma(out_hbm, tile2, sem_o, nslot, i - 1).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((L, sj, sk), u3[0].dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 9,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, si, sj, sk), u3[0].dtype),
+            pltpu.VMEM((2, sic, sjc, skc), u3[0].dtype),
+            pltpu.VMEM((2, bi, sj, sk), u3[0].dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_interpret(),
+    )
+
+    def go(*args):
+        with jax.enable_x64(False):
+            return call(*args)
+
+    return go(gi0, pin, *ec3, *u3, *f3)

@@ -46,7 +46,9 @@ from multigrid_parallel_tpu.parallel.sharded import (
 )
 from multigrid_parallel_tpu.parallel.sharded_padded import (
     _gi0,
+    _halo_bi,
     _halo_ext,
+    _halo_parts,
     _local_masks,
     _residual_df_norm_local_jnp,
     prolong_correct_local_padded,
@@ -164,7 +166,23 @@ def _build_local_mixed_cycle(
         bi_s = pmx.mixed_block_i(n, sj, sk, n_smooth,
                                  requested=block_i) if pal else 0
         bi_s = bi_s if (bi_s and L >= bi_s) else 0
-        if bi_s:
+        bi_sh = _halo_bi(bi_s, L, H)
+        if bi_sh:
+            # halo-DMA tier (same scheme as sharded_padded)
+            bi_s = bi_sh
+            g = _gi0(axis, L, H)
+            if from_zero:
+                e = pmx.mixed_rb_smooth_from_zero_halo(
+                    _halo_parts(r, axis, n_dev, H, H, bi_s), pin, g, h,
+                    n_smooth, n, L, red_first=True, block_i=bi_s,
+                )
+            else:
+                e = pmx.mixed_rb_smooth_halo(
+                    _halo_parts(e, axis, n_dev, H, H, bi_s),
+                    _halo_parts(r, axis, n_dev, H, H, bi_s),
+                    pin, g, h, n_smooth, n, L, red_first=True, block_i=bi_s,
+                )
+        elif bi_s:
             g = _gi0(axis, L, H)
             if from_zero:
                 e = pmx.mixed_rb_smooth_from_zero_ext(
@@ -182,9 +200,17 @@ def _build_local_mixed_cycle(
             e = _mixed_smooth_local_padded(e, r, h, n_smooth, n, axis, n_dev,
                                            pin, True)
 
-        # --- residual + restrict: Dirichlet ext kernel applies verbatim
+        # --- residual + restrict: Dirichlet halo/ext kernels apply
+        # verbatim (same halo-DMA tier as sharded_padded)
         bi_r = px.restrict_ext_block_i(L // 2, sj, sk) if pal else 0
-        if bi_r:
+        bi_rh = _halo_bi(bi_r, L // 2, 1)
+        if bi_rh:
+            rc = px.residual_restrict_halo(
+                _halo_parts(e, axis, n_dev, 2, 1),
+                _halo_parts(r, axis, n_dev, 2, 1),
+                _gi0(axis, L, 2), h, n, L // 2, block_i=bi_rh,
+            )
+        elif bi_r:
             rc = px.residual_restrict_ext(
                 _halo_ext(e, axis, n_dev, 2), _halo_ext(r, axis, n_dev, 2),
                 _gi0(axis, L, 2), h, n, L // 2, block_i=bi_r,
@@ -199,10 +225,19 @@ def _build_local_mixed_cycle(
                 ec = descend(ec, rc, level - 1, depth + 1)
 
         # --- prolong + correct + BCs + post-smooth (black-first)
-        bi_p = pmx.mixed_block_i(n, sj, sk, n_smooth,
-                                 requested=block_i) if pal else 0
+        bi_p = pmx.mixed_prolong_block_i(n, sj, sk, n_smooth,
+                                         requested=block_i) if pal else 0
         bi_p = bi_p if (bi_p and L >= bi_p) else 0
-        if bi_p:
+        bi_ph = _halo_bi(bi_p, L, H + 2)
+        if bi_ph:
+            e = pmx.mixed_prolong_smooth_halo(
+                _halo_parts(ec, axis, n_dev, n_smooth, n_smooth + 1,
+                            bi_ph // 2),
+                _halo_parts(e, axis, n_dev, H, H, bi_ph),
+                _halo_parts(r, axis, n_dev, H, H, bi_ph),
+                pin, _gi0(axis, L, H), h, n_smooth, n, L, block_i=bi_ph,
+            )
+        elif bi_p:
             hc = n_smooth + 1
             e = pmx.mixed_prolong_smooth_ext(
                 _halo_ext(ec, axis, n_dev, hc), _halo_ext(e, axis, n_dev, H),
@@ -272,7 +307,14 @@ def make_sharded_mixed_padded_df_solver(
 
     def residual_norm(u_hi, u_lo, f_hi, f_lo):
         bi = px.ext_block_i(L0, sj, sk, 1, 4, requested=block_i)
-        if bi and n > jnp_level_max:
+        bi_h = _halo_bi(bi, L0, 1)
+        if bi_h and n > jnp_level_max:
+            parts = [_halo_parts(a, axis, n_dev, 1, 1, bi_h)
+                     for a in (u_hi, u_lo, f_hi, f_lo)]
+            r, part = px.residual_df_norm_halo(
+                *parts, _gi0(axis, L0, 1), h, n, L0, block_i=bi_h
+            )
+        elif bi and n > jnp_level_max:
             exts = [_halo_ext(a, axis, n_dev, 1)
                     for a in (u_hi, u_lo, f_hi, f_lo)]
             r, part = px.residual_df_norm_ext(

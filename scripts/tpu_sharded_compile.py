@@ -439,6 +439,194 @@ def stage_d(levels=7, repeats=5, inner_cycles=4, n_sharded=3, block_i=8):
 
 
 
+def stage_h(n=65, block_i=8):
+    """Round 4: direct-call the generalized (overlapping-tail) halo-DMA
+    kernels under REAL Mosaic at a NON-dividing L, against the ext
+    kernels as oracle — validates the tri-source dynamic-offset DMA and
+    the composite tail buffer lower correctly on-chip."""
+    import numpy as np
+
+    from multigrid_parallel_tpu.ops import pallas_sharded2d as px2
+
+    print(f"== stage H: halo-DMA kernels (overlap blocks) vs ext, n={n}, "
+          f"1-dev, Mosaic ==", flush=True)
+    _, sj, sk = pk.padded_shape(n)
+    L = -(-n // 4) * 4 + 4  # 72 at n=65: NOT a multiple of 16 -> overlap
+    assert L % 16 != 0, L
+    h = 1.0 / (n - 1)
+    n_iter = 2
+    H = 2 * n_iter
+    rng = np.random.default_rng(0)
+    e = jnp.asarray(_zb(rng.standard_normal((n, n, n))).astype(np.float32))
+    r = jnp.asarray(_zb(rng.standard_normal((n, n, n))).astype(np.float32))
+    ep = jnp.pad(pk.pad3(e), ((0, L - n), (0, 0), (0, 0)))
+    rp = jnp.pad(pk.pad3(r), ((0, L - n), (0, 0), (0, 0)))
+    bi = 16  # L = 72: blocks 0,16,32,48,56 -> overlapping tail
+
+    def ext(x, halo):
+        return jnp.pad(x, ((halo, halo), (0, 0), (0, 0)))
+
+    def parts(x, kl, kr, tail_local):
+        # 1-dev stand-in for _halo_parts: zero side buffers + composite
+        zl = jnp.zeros((kl,) + x.shape[1:], x.dtype)
+        zr = jnp.zeros((kr,) + x.shape[1:], x.dtype)
+        rhc = jnp.concatenate([x[x.shape[0] - tail_local:], zr], axis=0) \
+            if tail_local else zr
+        return (x, zl, rhc)
+
+    def gi0(halo):
+        return jnp.asarray([-halo], jnp.int32)
+
+    results = {}
+
+    def check(name, got, want):
+        got, want = np.asarray(got), np.asarray(want)
+        ok = np.array_equal(got, want)
+        err = 0.0 if ok else np.abs(got - want).max()
+        results[name] = ok
+        print(f"  {name:30s} {'OK (bitwise)' if ok else f'FAIL {err:.2e}'}",
+              flush=True)
+
+    t0 = time.perf_counter()
+    got = px.rb_smooth_halo(parts(ep, H, H, bi), parts(rp, H, H, bi),
+                            gi0(H), h, n_iter, n, L, True, bi)
+    sync(got)
+    print(f"  [compile+run {time.perf_counter()-t0:.1f}s]", flush=True)
+    want = px.rb_smooth_ext(ext(ep, H), ext(rp, H), gi0(H), h, n_iter, n, L,
+                            True, bi)
+    check("rb_smooth_halo(overlap)", got, want)
+
+    got = px.residual_restrict_halo(parts(ep, 2, 1, 0), parts(rp, 2, 1, 0),
+                                    gi0(2), h, n, L // 2, block_i=4)
+    want = px.residual_restrict_ext(ext(ep, 2), ext(rp, 2), gi0(2), h, n,
+                                    L // 2, block_i=4)
+    check("residual_restrict_halo", got, want)  # Lc=36, bi=4: divides
+
+    ec = jnp.asarray(_zb(rng.standard_normal(((n + 1) // 2,) * 3))
+                     .astype(np.float32))
+    ecp = jnp.pad(pk.pad3(ec), ((0, L // 2 - (n + 1) // 2), (0, 0), (0, 0)))
+    got = px.prolong_smooth_halo(
+        parts(ecp, n_iter, n_iter + 1, bi // 2),
+        parts(ep, H, H, bi), parts(rp, H, H, bi),
+        gi0(H), h, n_iter, n, L, block_i=bi,
+    )
+    want = px.prolong_smooth_ext(
+        ext(ecp, n_iter + 1), ext(ep, H), ext(rp, H),
+        gi0(H), h, n_iter, n, L, block_i=bi,
+    )
+    check("prolong_smooth_halo(overlap)", got, want)
+
+    arrs = [jnp.pad(pk.pad3(jnp.asarray(
+        _zb(rng.standard_normal((n, n, n))).astype(np.float32))),
+        ((0, L - n), (0, 0), (0, 0))) for _ in range(4)]
+    rh_, ph = px.residual_df_norm_halo(
+        *[parts(a, 1, 1, bi) for a in arrs], gi0(1), h, n, L, block_i=bi)
+    re_, pe = px.residual_df_norm_ext(
+        *[ext(a, 1) for a in arrs], gi0(1), h, n, L, block_i=bi)
+    check("residual_df_norm_halo", rh_, re_)
+    ok_n = float(ph) == float(pe)
+    results["df_norm partial"] = ok_n
+    print(f"  {'df_norm partial':30s} "
+          f"{'OK' if ok_n else f'FAIL {float(ph)} != {float(pe)}'}",
+          flush=True)
+
+    # ---- 2D halo2d kernels (1-dev: j ext is zeros at the chain ends)
+    sjl = sj  # whole j width local on the 1-dev mesh
+    sje = sjl + 2 * px2.HJ
+
+    def jext(x):
+        return jnp.pad(x, ((0, 0), (px2.HJ, px2.HJ), (0, 0)))
+
+    def parts2(x, kl, kr, tail_local):
+        B = jext(x)
+        zl = jnp.zeros((kl,) + B.shape[1:], B.dtype)
+        zr = jnp.zeros((kr,) + B.shape[1:], B.dtype)
+        rhc = jnp.concatenate([B[B.shape[0] - tail_local:], zr], axis=0) \
+            if tail_local else zr
+        return (B, zl, rhc)
+
+    def gij0(halo):
+        return jnp.asarray([-halo, -px2.HJ], jnp.int32)
+
+    got = px2.rb_smooth_halo2d(parts2(ep, H, H, bi), parts2(rp, H, H, bi),
+                               gij0(H), h, n_iter, n, L, sjl, True, bi)
+    want = px2.rb_smooth_ext2d(jext(ext(ep, H)), jext(ext(rp, H)), gij0(H),
+                               h, n_iter, n, L, sjl, True, bi)
+    check("rb_smooth_halo2d(overlap)", got, want)
+
+    skc = pk.padded_shape((n + 1) // 2)[2]
+    got = px2.residual_restrict_halo2d(
+        parts2(ep, 2, 1, 0), parts2(rp, 2, 1, 0), gij0(2), h, n, L // 2,
+        sjl // 2, skc, block_i=4)
+    want = px2.residual_restrict_ext2d(
+        jext(ext(ep, 2)), jext(ext(rp, 2)), gij0(2), h, n, L // 2,
+        sjl // 2, skc, block_i=4)
+    check("residual_restrict_halo2d", got, want)
+
+    ok = all(results.values())
+    print(f"stage H: {'ALL OK' if ok else 'FAILURES'}", flush=True)
+    return ok
+
+
+def stage_e(levels=7, repeats=5, inner_cycles=4, block_i=8):
+    """Round 4: the 2D tier's 1x1-mesh distributed tax with the i-halo
+    tier active (one j-ext copy instead of two concatenated copies)."""
+    from jax.sharding import Mesh
+
+    from multigrid_parallel_tpu.cycles_padded import (
+        make_on_device_df_solver, setup_df_problem,
+    )
+    from multigrid_parallel_tpu.parallel import sharded2d_padded as s2p
+
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=levels)
+    n = hier.finest_n
+    print(f"== stage E: 2D tier (i-halo-DMA) vs single-chip, 1x1 mesh, "
+          f"{n}^3 ==", flush=True)
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("x", "y"))
+    cfg = CycleConfig(n_smooth=2)
+    problem = poisson_3d_quadratic()
+
+    t0 = time.perf_counter()
+    run, plan = s2p.make_sharded2d_padded_df_solver(
+        hier, cfg, mesh, rel_tol=1e-8, inner_cycles=inner_cycles,
+        block_i=block_i,
+    )
+    st = s2p.setup_df_problem_sharded2d_padded(problem, hier, mesh, plan)
+    init = float(jnp.sqrt(jnp.sum(st[2].astype(jnp.float64) ** 2)))
+    _, _, norm, n_outer = run(*st)
+    norm, n_outer = float(norm), int(n_outer)
+    print(f"  compile+first solve {time.perf_counter()-t0:.1f}s  "
+          f"norm {norm:.3e}  n_outer {n_outer}  plan {plan}", flush=True)
+    assert norm <= 1e-8 * init, (norm, init)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _, _, nd, od = run(*st)
+        float(nd), int(od)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(f"  2d-sharded(1x1,halo) wall: best {best:.4f}s  median "
+          f"{sorted(times)[len(times)//2]:.4f}s "
+          f"(times {['%.3f' % t for t in times]})", flush=True)
+
+    run1 = make_on_device_df_solver(hier, cfg, rel_tol=1e-8,
+                                    inner_cycles=inner_cycles)
+    st1 = setup_df_problem(problem, hier)
+    _, _, n1, o1 = run1(*st1)
+    float(n1), int(o1)
+    times1 = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _, _, nd, od = run1(*st1)
+        float(nd), int(od)
+        times1.append(time.perf_counter() - t0)
+    best1 = min(times1)
+    print(f"  single-chip(full)    wall: best {best1:.4f}s", flush=True)
+    print(f"  2D distributed tax at 1x1: {best/best1:.3f}x "
+          f"(+{(best-best1)*1e3:.1f} ms)", flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-a", action="store_true")
@@ -446,7 +634,10 @@ if __name__ == "__main__":
     ap.add_argument("--skip-c", action="store_true")
     ap.add_argument("--n-sharded", type=int, default=3)
     ap.add_argument("--stage-d", action="store_true")
+    ap.add_argument("--stage-e", action="store_true")
+    ap.add_argument("--stage-h", action="store_true")
     ap.add_argument("--levels", type=int, default=7)
+    ap.add_argument("--block-i", type=int, default=8)
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}",
           flush=True)
@@ -457,6 +648,11 @@ if __name__ == "__main__":
         ok = stage_c() and ok
     if not args.skip_b:
         stage_b(n_sharded=args.n_sharded)
+    if args.stage_h:
+        ok = stage_h() and ok
     if args.stage_d:
-        stage_d(levels=args.levels, n_sharded=args.n_sharded)
+        stage_d(levels=args.levels, n_sharded=args.n_sharded,
+                block_i=args.block_i)
+    if args.stage_e:
+        stage_e(levels=args.levels, block_i=args.block_i)
     sys.exit(0 if ok else 1)
