@@ -251,11 +251,24 @@ def _make_descend(
         nc = hier32.sizes[level - 1]
         ec = _recurse(descend, rc, level - 1)
         bi_ps = pk.ps_fused_block_i(n, sj, sk, n_smooth, e.dtype.itemsize)
+        bi_ps1 = pk.ps_fused_block_i(n, sj, sk, 1, e.dtype.itemsize) \
+            if (not bi_ps and n_smooth > 1) else 0
         if bi_ps:
             # one HBM pass: interpolate+correct+post-smooth fused
             e = pk.prolong_smooth_fused_padded(
                 ec, e, r, h, n_smooth, n, block_i=bi_ps
             )
+        elif bi_ps1 >= 4:
+            # split post-smooth (the 513-trim level): fuse
+            # interpolate+correct+ONE black-first iteration, then
+            # n_smooth-1 single-iteration passes — identical half-sweep
+            # sequence, bigger blocks than the full fusion window allows
+            e = pk.prolong_smooth_fused_padded(ec, e, r, h, 1, n,
+                                               block_i=bi_ps1)
+            for _ in range(n_smooth - 1):
+                e = pk.rb_smooth_fused_pipelined(
+                    e, r, h, 1, n, red_first=False, block_i=block_i
+                )
         else:
             e = prolong_correct_padded(ec, e, nc)
             e = pk.rb_smooth_fused_pipelined(

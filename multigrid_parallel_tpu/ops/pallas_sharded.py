@@ -62,7 +62,7 @@ def ext_block_i(L, sj, sk, halo, n_in, itemsize=4, requested=8):
     ~3 slab-sized temporaries + 2 output tiles. bi is kept even so
     shard-relative plane parities stay static."""
     plane = sj * sk * itemsize
-    for bi in (requested, 16, 8, 4, 2):
+    for bi in (requested, 16, 12, 8, 6, 4, 2):
         if bi > requested or bi % 2:
             continue
         si = bi + 2 * halo

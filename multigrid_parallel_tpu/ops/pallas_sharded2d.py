@@ -77,7 +77,7 @@ def ext2d_block_i(L, sje, sk, halo, n_in, itemsize=4, requested=8):
     """block_i for the generic ext2d kernels, or 0 (see pallas_sharded.
     ext_block_i — same estimate with the j-extended plane size)."""
     plane = sje * sk * itemsize
-    for bi in (requested, 16, 8, 4, 2):
+    for bi in (requested, 16, 12, 8, 6, 4, 2):
         if bi > requested or bi % 2:
             continue
         si = bi + 2 * halo

@@ -300,41 +300,72 @@ def _build_local_cycle(
         pal = _use_pallas(n, L, H, jnp_level_max)
         nc = hier32.sizes[level - 1]
 
-        # --- pre-smooth (red-first)
-        bi_s = px.ext_block_i(L, sj, sk, H, 2, requested=block_i) if pal else 0
-        bi_sh = _halo_bi(bi_s, L, H)
-        if bi_sh:
-            # halo-DMA tier: only the H edge planes travel; the body is
-            # read in-kernel from the local array (no ext copy)
-            bi_s = bi_sh
-            g = _gi0(axis, L, H)
-            if from_zero:
-                e = px.rb_smooth_from_zero_halo(
-                    _halo_parts(r, axis, n_dev, H, H, bi_s), g, h, n_smooth,
-                    n, L, red_first=True, block_i=bi_s,
+        def smooth_stage(e, r, red_first, from_zero=False, n_it=n_smooth):
+            """Fused smoothing stage with the single-chip planner's
+            ladder (pallas3d.rb_smooth_fused_pipelined): full-window
+            fusion when VMEM allows bi >= 4, else n_it SINGLE-ITERATION
+            passes (halo 2 each — bigger blocks, less trapezoid
+            recompute; this is what the single-chip path runs at the
+            513-trim level, where the full H=4 window only fits at
+            bi=2), else the bi=2 full window, else masked-roll jnp."""
+            Hs = 2 * n_it
+            bi_f = px.ext_block_i(L, sj, sk, Hs, 2, requested=block_i) \
+                if pal else 0
+            bi_fh = _halo_bi(bi_f, L, Hs)
+            bi_1 = px.ext_block_i(L, sj, sk, 2, 2, requested=block_i) \
+                if (pal and n_it > 1) else 0
+            bi_1h = _halo_bi(bi_1, L, 2)
+            use_split = max(bi_fh, bi_f) < 4 and bi_1h >= 4
+            if use_split:
+                g = _gi0(axis, L, 2)
+                for it in range(n_it):
+                    if from_zero and it == 0:
+                        e = px.rb_smooth_from_zero_halo(
+                            _halo_parts(r, axis, n_dev, 2, 2, bi_1h), g, h,
+                            1, n, L, red_first=red_first, block_i=bi_1h,
+                        )
+                    else:
+                        e = px.rb_smooth_halo(
+                            _halo_parts(e, axis, n_dev, 2, 2, bi_1h),
+                            _halo_parts(r, axis, n_dev, 2, 2, bi_1h),
+                            g, h, 1, n, L, red_first=red_first,
+                            block_i=bi_1h,
+                        )
+                return e
+            if bi_fh:
+                # halo-DMA tier: only the Hs edge planes travel; the
+                # body is read in-kernel from the local array
+                g = _gi0(axis, L, Hs)
+                if from_zero:
+                    return px.rb_smooth_from_zero_halo(
+                        _halo_parts(r, axis, n_dev, Hs, Hs, bi_fh), g, h,
+                        n_it, n, L, red_first=red_first, block_i=bi_fh,
+                    )
+                return px.rb_smooth_halo(
+                    _halo_parts(e, axis, n_dev, Hs, Hs, bi_fh),
+                    _halo_parts(r, axis, n_dev, Hs, Hs, bi_fh),
+                    g, h, n_it, n, L, red_first=red_first,
+                    block_i=bi_fh,
                 )
-            else:
-                e = px.rb_smooth_halo(
-                    _halo_parts(e, axis, n_dev, H, H, bi_s),
-                    _halo_parts(r, axis, n_dev, H, H, bi_s),
-                    g, h, n_smooth, n, L, red_first=True, block_i=bi_s,
+            if bi_f:
+                g = _gi0(axis, L, Hs)
+                if from_zero:
+                    return px.rb_smooth_from_zero_ext(
+                        _halo_ext(r, axis, n_dev, Hs), g, h, n_it, n, L,
+                        red_first=red_first, block_i=bi_f,
+                    )
+                return px.rb_smooth_ext(
+                    _halo_ext(e, axis, n_dev, Hs),
+                    _halo_ext(r, axis, n_dev, Hs),
+                    g, h, n_it, n, L, red_first=red_first, block_i=bi_f,
                 )
-        elif bi_s:
-            g = _gi0(axis, L, H)
-            if from_zero:
-                e = px.rb_smooth_from_zero_ext(
-                    _halo_ext(r, axis, n_dev, H), g, h, n_smooth, n, L,
-                    red_first=True, block_i=bi_s,
-                )
-            else:
-                e = px.rb_smooth_ext(
-                    _halo_ext(e, axis, n_dev, H), _halo_ext(r, axis, n_dev, H),
-                    g, h, n_smooth, n, L, red_first=True, block_i=bi_s,
-                )
-        else:
             if from_zero:
                 e = jnp.zeros_like(r)
-            e = rb_smooth_local_padded(e, r, h, n_smooth, n, axis, n_dev, True)
+            return rb_smooth_local_padded(e, r, h, n_it, n, axis, n_dev,
+                                          red_first)
+
+        # --- pre-smooth (red-first)
+        e = smooth_stage(e, r, red_first=True, from_zero=from_zero)
 
         # --- residual + restrict
         bi_r = px.restrict_ext_block_i(L // 2, sj, sk) if pal else 0
@@ -366,6 +397,37 @@ def _build_local_cycle(
         bi_p = px.prolong_ext_block_i(L, sj, sk, n_smooth,
                                       requested=block_i) if pal else 0
         bi_ph = _halo_bi(bi_p, L, H + 2)
+        if pal and bi_p < 4 and n_smooth > 1:
+            # Tiny-block full-window fused prolong pays 5x trapezoid
+            # recompute (the 513-trim level). Split the POST-SMOOTH the
+            # same way as smooth_stage: fuse interpolate+correct+ONE
+            # black-first iteration (halo 2 — fits bi >= 4 where the
+            # full window only fits bi=2), then n_smooth-1
+            # single-iteration smoother passes. Identical half-sweep
+            # sequence, much bigger blocks.
+            bi_p1 = px.prolong_ext_block_i(L, sj, sk, 1, requested=block_i)
+            bi_p1h = _halo_bi(bi_p1, L, 4)  # n_iter=1: bi >= H1+2 = 4
+            if bi_p1h:
+                e = px.prolong_smooth_halo(
+                    _halo_parts(ec, axis, n_dev, 1, 2, bi_p1h // 2),
+                    _halo_parts(e, axis, n_dev, 2, 2, bi_p1h),
+                    _halo_parts(r, axis, n_dev, 2, 2, bi_p1h),
+                    _gi0(axis, L, 2), h, 1, n, L, block_i=bi_p1h,
+                )
+                return smooth_stage(e, r, red_first=False,
+                                    n_it=n_smooth - 1)
+            if bi_p1 >= 4:
+                e = px.prolong_smooth_ext(
+                    _halo_ext(ec, axis, n_dev, 2), _halo_ext(e, axis, n_dev, 2),
+                    _halo_ext(r, axis, n_dev, 2), _gi0(axis, L, 2),
+                    h, 1, n, L, block_i=bi_p1,
+                )
+                return smooth_stage(e, r, red_first=False,
+                                    n_it=n_smooth - 1)
+            # separable-matmul interpolation + split smoother (the
+            # single-chip planner's last resort at this level)
+            e = prolong_correct_local_padded(ec, e, nc, axis, n_dev)
+            return smooth_stage(e, r, red_first=False)
         if bi_ph:
             e = px.prolong_smooth_halo(
                 _halo_parts(ec, axis, n_dev, n_smooth, n_smooth + 1,
@@ -383,7 +445,7 @@ def _build_local_cycle(
             )
         else:
             e = prolong_correct_local_padded(ec, e, nc, axis, n_dev)
-            e = rb_smooth_local_padded(e, r, h, n_smooth, n, axis, n_dev, False)
+            e = smooth_stage(e, r, red_first=False)
         return e
 
     level = hier32.num_levels - 1
