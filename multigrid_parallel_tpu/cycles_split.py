@@ -114,9 +114,44 @@ def make_split_df_solver(
                                                 block_i)
     ns = cfg.n_smooth
 
+    # Split ladder (cycles_padded._make_descend / sharded_padded.
+    # smooth_stage): when the full n_smooth fusion window only fits a
+    # tiny block (the 513-split level: smooth=4, ps=2), run
+    # single-iteration passes at the bigger block the halved window
+    # allows — identical half-sweep sequence, less trapezoid recompute.
+    plan1 = split_plan(n, sj, skh, 1, smooth_block_i, ps_block_i) \
+        if ns > 1 else None
+    # The stages are compute-bound (docs/ROOFLINE.md): splitting pays
+    # whenever the single-iteration window lands on a bigger block than
+    # the full window's (trapezoid recompute shrinks faster than the
+    # extra HBM pass costs) — at 513-split: smooth 4 -> 6, ps 2 -> 4.
+    sm_split = bool(plan1) and plan["smooth"] < 8 \
+        and plan1["smooth"] > plan["smooth"] and plan1["smooth"] >= 4
+    ps_split = bool(plan1) and plan["ps"] < 8 \
+        and plan1["ps"] > plan["ps"] and plan1["ps"] >= 4
+
+    def smooth_passes(er, eb, rr_, rb_, red_first, first_from_zero=False,
+                      n_it=ns):
+        for it in range(n_it):
+            if first_from_zero and it == 0:
+                er, eb = ps.rb_smooth_split_from_zero(
+                    rr_, rb_, h, 1, n, red_first=red_first,
+                    block_i=plan1["from_zero"],
+                )
+            else:
+                er, eb = ps.rb_smooth_split(
+                    er, eb, rr_, rb_, h, 1, n, red_first=red_first,
+                    block_i=plan1["smooth"],
+                )
+        return er, eb
+
     def cycle(e2, r2, from_zero=False):
         rr_, rb_ = r2
-        if from_zero:
+        if sm_split:
+            e0 = (None, None) if from_zero else e2
+            er, eb = smooth_passes(e0[0], e0[1], rr_, rb_, True,
+                                   first_from_zero=from_zero)
+        elif from_zero:
             er, eb = ps.rb_smooth_split_from_zero(
                 rr_, rb_, h, ns, n, red_first=True,
                 block_i=plan["from_zero"],
@@ -132,8 +167,13 @@ def make_split_df_solver(
         ec = sub_cycle(None, rc, from_zero=True)
         for _ in range(cfg.gamma - 1):
             ec = sub_cycle(ec, rc)
-        er, eb = ps.prolong_smooth_split(ec, er, eb, rr_, rb_, h, ns, n,
-                                         block_i=plan["ps"])
+        if ps_split:
+            er, eb = ps.prolong_smooth_split(ec, er, eb, rr_, rb_, h, 1,
+                                             n, block_i=plan1["ps"])
+            er, eb = smooth_passes(er, eb, rr_, rb_, False, n_it=ns - 1)
+        else:
+            er, eb = ps.prolong_smooth_split(ec, er, eb, rr_, rb_, h, ns,
+                                             n, block_i=plan["ps"])
         return (er, eb)
 
     def body(state):

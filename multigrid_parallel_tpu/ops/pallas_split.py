@@ -387,7 +387,7 @@ def _split_auto_bi(n, sj, skh, halo, n_in, n_out, itemsize=4, requested=24):
     ~4 slab-sized compute temporaries. 0 = does not fit (caller falls
     back to the rectangular-layout path)."""
     plane = sj * skh * itemsize
-    for bi in (requested, 24, 16, 8, 4, 2):
+    for bi in (requested, 24, 16, 12, 8, 6, 4, 2):
         if bi > requested:
             continue
         si = bi + 2 * halo

@@ -427,43 +427,70 @@ def _build_local_cycle2d(
                 _halo_ext_i(x, ax_i, plan.nx, hi), ax_j, plan.ny, px2.HJ
             )
 
-        # --- pre-smooth (red-first)
-        bi_s = px2.ext2d_block_i(Li, sje, sk, H, 2, requested=block_i) \
-            if pal else 0
-        bi_sh = _halo_bi(bi_s, Li, H)
-        if bi_sh:
-            # i-halo-DMA tier: the j-ext copy remains; the i-ext
-            # concatenate is replaced by in-kernel tri-source DMA
-            bi_s = bi_sh
-            g = _gij0(plan, depth, H)
-            if from_zero:
-                e = px2.rb_smooth_from_zero_halo2d(
-                    _halo_parts2d(r, plan, H, H, bi_s), g, h, n_smooth,
-                    n, Li, Lj, red_first=True, block_i=bi_s,
+        def smooth_stage(e, r, red_first, from_zero=False, n_it=n_smooth):
+            """Fused smoothing stage with the split ladder of
+            sharded_padded.smooth_stage: full-window fusion at bi >= 4,
+            else n_it SINGLE-ITERATION passes (halo 2 — what the
+            1025-scale levels need, where the full window only fits
+            bi=2), else the tiny full window, else masked-roll jnp."""
+            Hs = 2 * n_it
+            bi_f = px2.ext2d_block_i(Li, sje, sk, Hs, 2,
+                                     requested=block_i) if pal else 0
+            bi_fh = _halo_bi(bi_f, Li, Hs)
+            bi_1 = px2.ext2d_block_i(Li, sje, sk, 2, 2,
+                                     requested=block_i) \
+                if (pal and n_it > 1) else 0
+            bi_1h = _halo_bi(bi_1, Li, 2)
+            use_split = max(bi_fh, bi_f) < 4 and bi_1h >= 4
+            if use_split:
+                g = _gij0(plan, depth, 2)
+                for it in range(n_it):
+                    if from_zero and it == 0:
+                        e = px2.rb_smooth_from_zero_halo2d(
+                            _halo_parts2d(r, plan, 2, 2, bi_1h), g, h, 1,
+                            n, Li, Lj, red_first=red_first, block_i=bi_1h,
+                        )
+                    else:
+                        e = px2.rb_smooth_halo2d(
+                            _halo_parts2d(e, plan, 2, 2, bi_1h),
+                            _halo_parts2d(r, plan, 2, 2, bi_1h),
+                            g, h, 1, n, Li, Lj, red_first=red_first,
+                            block_i=bi_1h,
+                        )
+                return e
+            if bi_fh:
+                # i-halo-DMA tier: the j-ext copy remains; the i-ext
+                # concatenate is replaced by in-kernel tri-source DMA
+                g = _gij0(plan, depth, Hs)
+                if from_zero:
+                    return px2.rb_smooth_from_zero_halo2d(
+                        _halo_parts2d(r, plan, Hs, Hs, bi_fh), g, h, n_it,
+                        n, Li, Lj, red_first=red_first, block_i=bi_fh,
+                    )
+                return px2.rb_smooth_halo2d(
+                    _halo_parts2d(e, plan, Hs, Hs, bi_fh),
+                    _halo_parts2d(r, plan, Hs, Hs, bi_fh),
+                    g, h, n_it, n, Li, Lj,
+                    red_first=red_first, block_i=bi_fh,
                 )
-            else:
-                e = px2.rb_smooth_halo2d(
-                    _halo_parts2d(e, plan, H, H, bi_s),
-                    _halo_parts2d(r, plan, H, H, bi_s),
-                    g, h, n_smooth, n, Li, Lj,
-                    red_first=True, block_i=bi_s,
+            if bi_f:
+                g = _gij0(plan, depth, Hs)
+                if from_zero:
+                    return px2.rb_smooth_from_zero_ext2d(
+                        ext2(r, Hs), g, h, n_it, n, Li, Lj,
+                        red_first=red_first, block_i=bi_f,
+                    )
+                return px2.rb_smooth_ext2d(
+                    ext2(e, Hs), ext2(r, Hs), g, h, n_it, n, Li, Lj,
+                    red_first=red_first, block_i=bi_f,
                 )
-        elif bi_s:
-            g = _gij0(plan, depth, H)
-            if from_zero:
-                e = px2.rb_smooth_from_zero_ext2d(
-                    ext2(r, H), g, h, n_smooth, n, Li, Lj,
-                    red_first=True, block_i=bi_s,
-                )
-            else:
-                e = px2.rb_smooth_ext2d(
-                    ext2(e, H), ext2(r, H), g, h, n_smooth, n, Li, Lj,
-                    red_first=True, block_i=bi_s,
-                )
-        else:
             if from_zero:
                 e = jnp.zeros_like(r)
-            e = rb_smooth_local2dp(e, r, h, n_smooth, n, plan, depth, True)
+            return rb_smooth_local2dp(e, r, h, n_it, n, plan, depth,
+                                      red_first)
+
+        # --- pre-smooth (red-first)
+        e = smooth_stage(e, r, red_first=True, from_zero=from_zero)
 
         # --- residual + restrict
         bi_r = px2.restrict2d_block_i(Li // 2, sje, sk) if pal else 0
@@ -495,6 +522,36 @@ def _build_local_cycle2d(
         bi_p = px2.prolong2d_block_i(Li, sje, sk, n_smooth,
                                      requested=block_i) if pal else 0
         bi_ph = _halo_bi(bi_p, Li, H + 2)
+        if pal and bi_p < 4 and n_smooth > 1:
+            # split post-smooth (sharded_padded's prolong ladder): fuse
+            # interpolate+correct+ONE black-first iteration, then
+            # n_smooth-1 single-iteration smoother passes
+            bi_p1 = px2.prolong2d_block_i(Li, sje, sk, 1,
+                                          requested=block_i)
+            bi_p1h = _halo_bi(bi_p1, Li, 4)
+            if bi_p1h:
+                e = px2.prolong_smooth_halo2d(
+                    _halo_parts2d(ec, plan, 1, 2, bi_p1h // 2),
+                    _halo_parts2d(e, plan, 2, 2, bi_p1h),
+                    _halo_parts2d(r, plan, 2, 2, bi_p1h),
+                    _gij0(plan, depth, 2), h, 1, n, Li, Lj,
+                    block_i=bi_p1h,
+                )
+                return smooth_stage(e, r, red_first=False,
+                                    n_it=n_smooth - 1)
+            if bi_p1 >= 4:
+                ec_ext = _halo_ext_j(
+                    _halo_ext_i(ec, ax_i, plan.nx, 2), ax_j, plan.ny,
+                    px2.HJ
+                )
+                e = px2.prolong_smooth_ext2d(
+                    ec_ext, ext2(e, 2), ext2(r, 2),
+                    _gij0(plan, depth, 2), h, 1, n, Li, Lj, block_i=bi_p1,
+                )
+                return smooth_stage(e, r, red_first=False,
+                                    n_it=n_smooth - 1)
+            e = prolong_correct_local2dp(ec, e, nc, plan, depth)
+            return smooth_stage(e, r, red_first=False)
         if bi_ph:
             e = px2.prolong_smooth_halo2d(
                 _halo_parts2d(ec, plan, n_smooth, n_smooth + 1, bi_ph // 2),
@@ -514,7 +571,7 @@ def _build_local_cycle2d(
             )
         else:
             e = prolong_correct_local2dp(ec, e, nc, plan, depth)
-            e = rb_smooth_local2dp(e, r, h, n_smooth, n, plan, depth, False)
+            e = smooth_stage(e, r, red_first=False)
         return e
 
     level = hier32.num_levels - 1
