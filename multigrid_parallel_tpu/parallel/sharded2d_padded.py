@@ -55,12 +55,21 @@ def _round_up(x: int, m: int) -> int:
 
 def plan_sharding_2d_padded(
     hier: Hierarchy, nx: int, ny: int, axes=("x", "y"), min_local: int = 4,
-    j_align: int = 16,
+    j_align: int = 16, max_j_pad: float = 0.125,
 ) -> ShardPlan2D:
     """ShardPlan2D for the padded tier: fine_local_j is additionally
     rounded to ``j_align`` (a multiple of 8) so the finest
     log2(j_align/8)+1 sharded levels keep sublane-tile-aligned local j
-    extents (Pallas-eligible); deeper levels take the jnp fallback."""
+    extents (Pallas-eligible); deeper levels take the jnp fallback.
+
+    Deep sharding forces 2**n_sharded alignment, which can inflate the
+    local j extent by up to ~50% (1025³ on a 4×4 mesh: 257 -> 384
+    columns at n_sharded=7) — enough padding to push the finest level's
+    plane past the VMEM budget and off the fused path. n_sharded is
+    therefore reduced while that strictly shrinks the aligned extent
+    and the j padding still exceeds ``max_j_pad`` (the forgone depth
+    only moves small replicated-tail levels, which every device
+    recomputes cheaply)."""
     n_sharded = 1
     while n_sharded < hier.num_levels - 1 and (
         min(
@@ -70,9 +79,18 @@ def plan_sharding_2d_padded(
         >= min_local
     ):
         n_sharded += 1
+
+    fj0 = -(-hier.finest_n // ny)
+
+    def fj_of(ns):
+        return _round_up(fj0, max(j_align, 1 << ns))
+
+    while (n_sharded > 1 and fj_of(n_sharded) - fj0 > max_j_pad * fj0
+           and fj_of(n_sharded - 1) < fj_of(n_sharded)):
+        n_sharded -= 1
     align = 1 << n_sharded
     fi = _round_up(-(-hier.finest_n // nx), align)
-    fj = _round_up(-(-hier.finest_n // ny), max(j_align, align))
+    fj = _round_up(fj0, max(j_align, align))
     return ShardPlan2D(
         nx=nx, ny=ny, axes=tuple(axes), n_sharded=n_sharded,
         fine_local_i=fi, fine_local_j=fj,

@@ -117,9 +117,16 @@ def print_dispatch_plan(n: int, device_list, n_smooth: int = 2,
                 L = plan.local_planes(depth)
                 _, sj, sk = shape_of(nl)
                 if _use_pallas(nl, L, H, jnp_level_max):
+                    # mirror sharded_padded.smooth_stage's ladder
                     bi = px.ext_block_i(L, sj, sk, H, 2, requested=block_i)
-                    if bi and _halo_bi(bi, L, H):
-                        cells.append(f"{nl}: pallas-halo(bi={_halo_bi(bi, L, H)})")
+                    bi_h = _halo_bi(bi, L, H)
+                    bi1 = px.ext_block_i(L, sj, sk, 2, 2, requested=block_i)
+                    bi_1h = _halo_bi(bi1, L, 2)
+                    if max(bi_h, bi) < 4 and bi_1h >= 4:
+                        cells.append(
+                            f"{nl}: pallas-halo-split(bi={bi_1h})")
+                    elif bi_h:
+                        cells.append(f"{nl}: pallas-halo(bi={bi_h})")
                     elif bi:
                         cells.append(f"{nl}: pallas-ext(bi={bi})")
                     else:
@@ -143,7 +150,9 @@ def print_dispatch_plan(n: int, device_list, n_smooth: int = 2,
     )
 
     meshes = [(nd // 2, 2) for nd in device_list if nd >= 4]
-    meshes += [(8, 8)] if (8, 8) not in meshes else []
+    for m in ((4, 4), (8, 4), (8, 8)):
+        if m not in meshes:
+            meshes.append(m)
     print(f"\n2D-mesh dispatch map (same gate + sublane alignment):")
     print()
     print("| mesh | level sizes: dispatch |")
@@ -159,9 +168,20 @@ def print_dispatch_plan(n: int, device_list, n_smooth: int = 2,
             sk = pk.padded_shape(nl)[2]
             sje = Lj + 2 * px2.HJ
             if _use_pallas2d(nl, Li, Lj, H, jnp_level_max):
+                # mirror sharded2d_padded.smooth_stage's ladder
                 bi = px2.ext2d_block_i(Li, sje, sk, H, 2, requested=block_i)
-                cells.append(f"{nl}: pallas(bi={bi})" if bi
-                             else f"{nl}: jnp (no block fits)")
+                bi_h = _halo_bi(bi, Li, H)
+                bi1 = px2.ext2d_block_i(Li, sje, sk, 2, 2,
+                                        requested=block_i)
+                bi_1h = _halo_bi(bi1, Li, 2)
+                if max(bi_h, bi) < 4 and bi_1h >= 4:
+                    cells.append(f"{nl}: pallas-halo-split(bi={bi_1h})")
+                elif bi_h:
+                    cells.append(f"{nl}: pallas-halo(bi={bi_h})")
+                elif bi:
+                    cells.append(f"{nl}: pallas-ext(bi={bi})")
+                else:
+                    cells.append(f"{nl}: jnp (no block fits)")
             elif nl > jnp_level_max and Li >= max(H + 2, 4):
                 # round-4 j-replicated 1D tier: narrow-Lj levels gather
                 # j to full width and run the fused 1D ext kernels
