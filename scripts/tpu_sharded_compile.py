@@ -568,31 +568,36 @@ def stage_h(n=65, block_i=8):
     return ok
 
 
-def stage_e(levels=7, repeats=5, inner_cycles=4, block_i=8):
+def stage_e(levels=7, repeats=5, inner_cycles=4, block_i=8, trim=True):
     """Round 4: the 2D tier's 1x1-mesh distributed tax with the i-halo
-    tier active (one j-ext copy instead of two concatenated copies)."""
+    tier active (one j-ext copy instead of two concatenated copies).
+    Both sides run the production k-TRIM layout by default."""
     from jax.sharding import Mesh
 
     from multigrid_parallel_tpu.cycles_padded import (
-        make_on_device_df_solver, setup_df_problem,
+        make_on_device_df_solver, ref_init_norm, setup_df_problem,
     )
     from multigrid_parallel_tpu.parallel import sharded2d_padded as s2p
 
     hier = Hierarchy(ndim=3, coarse_n=5, num_levels=levels)
     n = hier.finest_n
-    print(f"== stage E: 2D tier (i-halo-DMA) vs single-chip, 1x1 mesh, "
-          f"{n}^3 ==", flush=True)
+    lab = "trim" if trim else "full"
+    print(f"== stage E: 2D tier (i-halo-DMA, {lab}) vs single-chip, "
+          f"1x1 mesh, {n}^3 ==", flush=True)
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("x", "y"))
     cfg = CycleConfig(n_smooth=2)
     problem = poisson_3d_quadratic()
+    init = ref_init_norm(problem, hier) if trim else None
 
     t0 = time.perf_counter()
     run, plan = s2p.make_sharded2d_padded_df_solver(
         hier, cfg, mesh, rel_tol=1e-8, inner_cycles=inner_cycles,
-        block_i=block_i,
+        block_i=block_i, trim=trim, init_norm=init,
     )
-    st = s2p.setup_df_problem_sharded2d_padded(problem, hier, mesh, plan)
-    init = float(jnp.sqrt(jnp.sum(st[2].astype(jnp.float64) ** 2)))
+    st = s2p.setup_df_problem_sharded2d_padded(problem, hier, mesh, plan,
+                                               trim=trim)
+    if init is None:
+        init = float(jnp.sqrt(jnp.sum(st[2].astype(jnp.float64) ** 2)))
     _, _, norm, n_outer = run(*st)
     norm, n_outer = float(norm), int(n_outer)
     print(f"  compile+first solve {time.perf_counter()-t0:.1f}s  "
@@ -606,13 +611,15 @@ def stage_e(levels=7, repeats=5, inner_cycles=4, block_i=8):
         float(nd), int(od)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    print(f"  2d-sharded(1x1,halo) wall: best {best:.4f}s  median "
+    print(f"  2d-sharded(1x1,halo,{lab}) wall: best {best:.4f}s  median "
           f"{sorted(times)[len(times)//2]:.4f}s "
           f"(times {['%.3f' % t for t in times]})", flush=True)
 
     run1 = make_on_device_df_solver(hier, cfg, rel_tol=1e-8,
-                                    inner_cycles=inner_cycles)
-    st1 = setup_df_problem(problem, hier)
+                                    inner_cycles=inner_cycles,
+                                    trim=trim, init_norm=init if trim
+                                    else None)
+    st1 = setup_df_problem(problem, hier, trim=trim)
     _, _, n1, o1 = run1(*st1)
     float(n1), int(o1)
     times1 = []
@@ -622,7 +629,7 @@ def stage_e(levels=7, repeats=5, inner_cycles=4, block_i=8):
         float(nd), int(od)
         times1.append(time.perf_counter() - t0)
     best1 = min(times1)
-    print(f"  single-chip(full)    wall: best {best1:.4f}s", flush=True)
+    print(f"  single-chip({lab})    wall: best {best1:.4f}s", flush=True)
     print(f"  2D distributed tax at 1x1: {best/best1:.3f}x "
           f"(+{(best-best1)*1e3:.1f} ms)", flush=True)
 
