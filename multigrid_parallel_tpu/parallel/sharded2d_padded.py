@@ -459,7 +459,8 @@ def _build_local_cycle2d(
                                      requested=block_i) \
                 if (pal and n_it > 1) else 0
             bi_1h = _halo_bi(bi_1, Li, 2)
-            use_split = max(bi_fh, bi_f) < 4 and bi_1h >= 4
+            # bi_fh <= bi_f by construction (_halo_bi caps at bi0)
+            use_split = bi_f < 4 and bi_1h >= 4
             if use_split:
                 g = _gij0(plan, depth, 2)
                 for it in range(n_it):

@@ -30,18 +30,6 @@ def sync(x):
 
 
 def slope(fn, args, n1=2, n2=6):
-    import functools
-
-    def chain(reps):
-        @jax.jit
-        def go(*a):
-            x = a
-            for _ in range(reps):
-                x = (fn(*x),) if not isinstance(fn(*x), tuple) else fn(*x)
-            return x
-        return go
-
-    # build chained jits
     def make(reps):
         @jax.jit
         def go(*a):

@@ -111,9 +111,7 @@ skc = pk.coarse_k_width(n, sk)
 ec = jnp.zeros((L // 2, sjc, skc), jnp.float32)
 bi5 = pk.ps_fused_block_i(n, sj, sk, n_iter)
 t = slope(lambda e, eec, rr: pk.prolong_smooth_fused_padded(
-    eec[:nc // 2 + 1 + nc // 2], e, rr, h, n_iter, n, block_i=bi5)
-    if False else pk.prolong_smooth_fused_padded(eec[:(n + 1) // 2], e, rr,
-                                                 h, n_iter, n, block_i=bi5),
+    eec, e, rr, h, n_iter, n, block_i=bi5),
           (r[:n], jnp.zeros((nc, sjc, skc), jnp.float32), r[:n]))
 print(f"  prolong+smooth single (bi={bi5})  : {t*1e3:7.2f} ms", flush=True)
 

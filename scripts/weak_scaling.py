@@ -122,7 +122,7 @@ def print_dispatch_plan(n: int, device_list, n_smooth: int = 2,
                     bi_h = _halo_bi(bi, L, H)
                     bi1 = px.ext_block_i(L, sj, sk, 2, 2, requested=block_i)
                     bi_1h = _halo_bi(bi1, L, 2)
-                    if max(bi_h, bi) < 4 and bi_1h >= 4:
+                    if bi < 4 and bi_1h >= 4:
                         cells.append(
                             f"{nl}: pallas-halo-split(bi={bi_1h})")
                     elif bi_h:
@@ -174,7 +174,7 @@ def print_dispatch_plan(n: int, device_list, n_smooth: int = 2,
                 bi1 = px2.ext2d_block_i(Li, sje, sk, 2, 2,
                                         requested=block_i)
                 bi_1h = _halo_bi(bi1, Li, 2)
-                if max(bi_h, bi) < 4 and bi_1h >= 4:
+                if bi < 4 and bi_1h >= 4:
                     cells.append(f"{nl}: pallas-halo-split(bi={bi_1h})")
                 elif bi_h:
                     cells.append(f"{nl}: pallas-halo(bi={bi_h})")

@@ -414,3 +414,81 @@ def test_residual_df_norm_halo2d_matches_ext2d(mesh2d):
     rb, nb2 = run(loc_halo)
     np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
     assert float(np.asarray(na).ravel()[0]) == float(np.asarray(nb2).ravel()[0])
+
+
+# --------------------- mixed-BC halo-DMA kernels vs their ext twins ----
+# (round-4 review finding: the mixed halo kernels were unreachable at
+# the test suite's block_i=4 — these pin them directly, bi=8 with an
+# overlapping tail for the smoother, bi=6 for the prolong.)
+
+from multigrid_parallel_tpu.models.electrospray import electrospray_problem  # noqa: E402
+from multigrid_parallel_tpu.ops import pallas_mixed as pmx  # noqa: E402
+
+
+def _mixed_pin():
+    prob = electrospray_problem()
+    _, sj, sk = pk.padded_shape(N)
+    return pmx.dirichlet_pin_planes(prob, N, sj, sk)
+
+
+@pytest.mark.parametrize("from_zero", [False, True])
+def test_mixed_rb_smooth_halo_matches_ext(mesh, from_zero):
+    u, f = _rand(51), _rand(52)
+    pin = _mixed_pin()
+    hh, bi = 4, 8  # L=12: blocks 0, 4 (overlapping tail)
+
+    def loc_ext(ul, fl):
+        g = sp._gi0("x", L, hh)
+        if from_zero:
+            return pmx.mixed_rb_smooth_from_zero_ext(
+                sp._halo_ext(fl, "x", NDEV, hh), pin, g, H, 2, N, L,
+                red_first=True, block_i=bi)
+        return pmx.mixed_rb_smooth_ext(
+            sp._halo_ext(ul, "x", NDEV, hh), sp._halo_ext(fl, "x", NDEV, hh),
+            pin, g, H, 2, N, L, red_first=True, block_i=bi)
+
+    def loc_halo(ul, fl):
+        g = sp._gi0("x", L, hh)
+        if from_zero:
+            return pmx.mixed_rb_smooth_from_zero_halo(
+                sp._halo_parts(fl, "x", NDEV, hh, hh, bi), pin, g, H, 2,
+                N, L, red_first=True, block_i=bi)
+        return pmx.mixed_rb_smooth_halo(
+            sp._halo_parts(ul, "x", NDEV, hh, hh, bi),
+            sp._halo_parts(fl, "x", NDEV, hh, hh, bi),
+            pin, g, H, 2, N, L, red_first=True, block_i=bi)
+
+    args = (_to_global(u, L), _to_global(f, L))
+    a = np.asarray(_shmap(loc_ext, mesh, 2)(*args))
+    b = np.asarray(_shmap(loc_halo, mesh, 2)(*args))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mixed_prolong_smooth_halo_matches_ext(mesh):
+    nc = (N + 1) // 2
+    ec = _rand(53, n=nc, zero_boundary=True)
+    e = _rand(54, zero_boundary=True)
+    r = _rand(55, zero_boundary=True)
+    pin = _mixed_pin()
+    n_iter, bi = 2, 6  # bi >= H+2; L=12 dividing
+    hh, hc = 2 * n_iter, n_iter + 1
+
+    def loc_ext(ecl, el, rl):
+        g = sp._gi0("x", L, hh)
+        return pmx.mixed_prolong_smooth_ext(
+            sp._halo_ext(ecl, "x", NDEV, hc), sp._halo_ext(el, "x", NDEV, hh),
+            sp._halo_ext(rl, "x", NDEV, hh), pin, g, H, n_iter, N, L,
+            block_i=bi)
+
+    def loc_halo(ecl, el, rl):
+        g = sp._gi0("x", L, hh)
+        return pmx.mixed_prolong_smooth_halo(
+            sp._halo_parts(ecl, "x", NDEV, n_iter, n_iter + 1, bi // 2),
+            sp._halo_parts(el, "x", NDEV, hh, hh, bi),
+            sp._halo_parts(rl, "x", NDEV, hh, hh, bi),
+            pin, g, H, n_iter, N, L, block_i=bi)
+
+    args = (_to_global(ec, L // 2), _to_global(e, L), _to_global(r, L))
+    a = np.asarray(_shmap(loc_ext, mesh, 3)(*args))
+    b = np.asarray(_shmap(loc_halo, mesh, 3)(*args))
+    np.testing.assert_array_equal(a, b)
