@@ -719,21 +719,84 @@ def residual_df_norm_ext2d(uhi_ext, ulo_ext, fhi_ext, flo_ext, gij0, h, n, L,
 # already-j-extended B. Eligibility: halo_ok(L, bi, halo_i).
 
 
+def _tri_dma2d(x, jl, jr, lh, rhc, dst, sem9, s, first, kl, mid, kr, L,
+               tail_local, Lj, do_start):
+    """Fully copy-free slab assembly for the 2D tier: stitch ``dst``
+    (rows [0,kl)+[kl,kl+mid)+[kl+mid,+kr) x j cols [0,HJ)+[HJ,HJ+Lj)+
+    [HJ+Lj,+HJ)) from the RAW local array ``x`` (Li, Lj, K), the
+    j-halo buffers ``jl``/``jr`` (Li, HJ, K), and the J-EXTENDED i-edge
+    buffers ``lh`` (kl, sje, K) / ``rhc`` (tail_local+kr, sje, K).
+    Up to 9 DMAs per slab; every j window is a multiple of the 8-column
+    sublane tile (HJ == 8, Lj % 8 == 0), so all windows are
+    Mosaic-tile-aligned. Same overlap/composite predicates as _tri_dma
+    (pallas_sharded)."""
+
+    def op(c):
+        c.start() if do_start else c.wait()
+
+    def row3(rows_start, n_rows, dst_r0, sem0):
+        # one i-row range from the three j sources
+        op(pltpu.make_async_copy(
+            jl.at[pl.ds(rows_start, n_rows)],
+            dst.at[pl.ds(dst_r0, n_rows), pl.ds(0, HJ)], sem9.at[sem0]))
+        op(pltpu.make_async_copy(
+            x.at[pl.ds(rows_start, n_rows)],
+            dst.at[pl.ds(dst_r0, n_rows), pl.ds(HJ, Lj)], sem9.at[sem0 + 1]))
+        op(pltpu.make_async_copy(
+            jr.at[pl.ds(rows_start, n_rows)],
+            dst.at[pl.ds(dst_r0, n_rows), pl.ds(HJ + Lj, HJ)],
+            sem9.at[sem0 + 2]))
+
+    if kl:
+        @pl.when(first)
+        def _():
+            op(pltpu.make_async_copy(
+                lh.at[pl.ds(0, kl)], dst.at[pl.ds(0, kl)], sem9.at[0]))
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            row3(s - kl, kl, 0, 0)
+    row3(s, mid, kl, 3)
+    if kr:
+        t = s + mid
+        in_comp = t + kr > L
+
+        @pl.when(in_comp)
+        def _():
+            op(pltpu.make_async_copy(
+                rhc.at[pl.ds(t - (L - tail_local), kr)],
+                dst.at[pl.ds(kl + mid, kr)], sem9.at[6]))
+
+        @pl.when(jnp.logical_not(in_comp))
+        def _():
+            row3(t, kr, kl + mid, 6)
+
+
 def _make_halo2d_kernel(L, si, sje, sjl, sk, bi, halo_i, nb, n_in, body,
-                        with_norm=False):
+                        with_norm=False, jdma=False):
     """_make_ext2d_kernel with tri-source i-halo DMA: inputs are n_in
-    (B, lh, rhc) triples of j-extended arrays. ``body(slabs, g0, gj0,
-    blk, ob)`` -> out_slab (with_norm: (out_slab, part) — the body must
-    mask its partial to the NOMINAL window [blk*bi, min((blk+1)*bi, L))
-    so overlapped rows count once)."""
+    (B, lh, rhc) triples of j-extended arrays — or, with ``jdma=True``,
+    n_in (x, jl, jr, lh, rhc) 5-tuples where the j extension is also
+    stitched in-kernel (_tri_dma2d; no materialized copies at all).
+    ``body(slabs, g0, gj0, blk, ob)`` -> out_slab (with_norm:
+    (out_slab, part) — the body must mask its partial to the NOMINAL
+    window [blk*bi, min((blk+1)*bi, L)) so overlapped rows count
+    once)."""
+    n_src = 5 if jdma else 3
 
     def ob_of(blk):
         return jnp.minimum(blk * bi, L - bi)
 
     def in_tri(hbms, ins2, sem_i, v, slot, blk, do_start):
-        _tri_dma(hbms[3 * v], hbms[3 * v + 1], hbms[3 * v + 2],
-                 ins2.at[v, slot], sem_i.at[v, slot],
-                 ob_of(blk), blk == 0, halo_i, bi, halo_i, L, bi, do_start)
+        srcs = hbms[n_src * v: n_src * (v + 1)]
+        if jdma:
+            _tri_dma2d(*srcs, ins2.at[v, slot], sem_i.at[v, slot],
+                       ob_of(blk), blk == 0, halo_i, bi, halo_i, L, bi,
+                       sjl, do_start)
+        else:
+            _tri_dma(*srcs, ins2.at[v, slot], sem_i.at[v, slot],
+                     ob_of(blk), blk == 0, halo_i, bi, halo_i, L, bi,
+                     do_start)
 
     def out_dma(out_hbm, tile2, sem_o, slot, blk):
         return pltpu.make_async_copy(
@@ -741,9 +804,9 @@ def _make_halo2d_kernel(L, si, sje, sjl, sk, bi, halo_i, nb, n_in, body,
         )
 
     def kernel(gij0_ref, *refs):
-        hbms = refs[: 3 * n_in]
-        out_hbm = refs[3 * n_in]
-        idx = 3 * n_in + 1
+        hbms = refs[: n_src * n_in]
+        out_hbm = refs[n_src * n_in]
+        idx = n_src * n_in + 1
         if with_norm:
             nrm_ref = refs[idx]
             idx += 1
@@ -811,7 +874,8 @@ def _make_halo2d_kernel(L, si, sje, sjl, sk, bi, halo_i, nb, n_in, body,
 
 
 def _halo2d_call(kernel, n_in, L, si, sje, sjl, sk, bi, dtype,
-                 with_norm=False):
+                 with_norm=False, jdma=False):
+    n_src = 5 if jdma else 3
     out_shape = [jax.ShapeDtypeStruct((L, sjl, sk), dtype)]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if with_norm:
@@ -824,7 +888,7 @@ def _halo2d_call(kernel, n_in, L, si, sje, sjl, sk, bi, dtype,
     if with_norm:
         scratch.append(pltpu.SMEM((1, 1), dtype))
     scratch += [
-        pltpu.SemaphoreType.DMA((n_in, 2, 3)),
+        pltpu.SemaphoreType.DMA((n_in, 2, 9 if jdma else 3)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     call = pl.pallas_call(
@@ -832,7 +896,7 @@ def _halo2d_call(kernel, n_in, L, si, sje, sjl, sk, bi, dtype,
         grid=(pl.cdiv(L, bi),),
         out_shape=tuple(out_shape) if with_norm else out_shape[0],
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (3 * n_in),
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_src * n_in),
         out_specs=tuple(out_specs) if with_norm else out_specs[0],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -848,8 +912,12 @@ def rb_smooth_halo2d(u3, f3, gij0, h, n_iter, n, L, sjl, red_first=True,
                      block_i=8):
     """rb_smooth_ext2d without the i-ext copy: u3/f3 = (B, lh, rhc)
     triples of j-extended arrays with a 2*n_iter i halo and a
-    block_i-plane composite tail. Requires halo_ok(L, block_i, 2*n_iter)."""
-    _, sje, sk = u3[0].shape
+    block_i-plane composite tail — or (x, jl, jr, lh, rhc) 5-tuples
+    (_halo_parts2dj) for the fully copy-free j-DMA path. Requires
+    halo_ok(L, block_i, 2*n_iter)."""
+    jdma = len(u3) == 5
+    sje = sjl + 2 * HJ
+    sk = u3[0].shape[2]
     hh = 2 * n_iter
     si = block_i + 2 * hh
     rb = _rb_body2d(h, n_iter, red_first, n, si, sje, sk)
@@ -860,15 +928,17 @@ def rb_smooth_halo2d(u3, f3, gij0, h, n_iter, n, L, sjl, red_first=True,
 
     nb = pl.cdiv(L, block_i)
     kernel = _make_halo2d_kernel(L, si, sje, sjl, sk, block_i, hh, nb, 2,
-                                 body)
+                                 body, jdma=jdma)
     return _halo2d_call(kernel, 2, L, si, sje, sjl, sk, block_i,
-                        u3[0].dtype)(gij0, *u3, *f3)
+                        u3[0].dtype, jdma=jdma)(gij0, *u3, *f3)
 
 
 def rb_smooth_from_zero_halo2d(f3, gij0, h, n_iter, n, L, sjl,
                                red_first=True, block_i=8):
     """rb_smooth_halo2d with an implicit zero initial guess."""
-    _, sje, sk = f3[0].shape
+    jdma = len(f3) == 5
+    sje = sjl + 2 * HJ
+    sk = f3[0].shape[2]
     hh = 2 * n_iter
     si = block_i + 2 * hh
     rb = _rb_body2d(h, n_iter, red_first, n, si, sje, sk)
@@ -879,16 +949,19 @@ def rb_smooth_from_zero_halo2d(f3, gij0, h, n_iter, n, L, sjl,
 
     nb = pl.cdiv(L, block_i)
     kernel = _make_halo2d_kernel(L, si, sje, sjl, sk, block_i, hh, nb, 1,
-                                 body)
+                                 body, jdma=jdma)
     return _halo2d_call(kernel, 1, L, si, sje, sjl, sk, block_i,
-                        f3[0].dtype)(gij0, *f3)
+                        f3[0].dtype, jdma=jdma)(gij0, *f3)
 
 
 def residual_df_norm_halo2d(uhi3, ulo3, fhi3, flo3, gij0, h, n, L, sjl,
                             block_i=8):
     """residual_df_norm_ext2d without the i-ext copies (1-plane i-halo
-    buffers). Returns (r_local, partial ||r||^2 over owned rows+cols)."""
-    _, sje, sk = uhi3[0].shape
+    buffers; triples or j-DMA 5-tuples). Returns (r_local, partial
+    ||r||^2 over owned rows+cols)."""
+    jdma = len(uhi3) == 5
+    sje = sjl + 2 * HJ
+    sk = uhi3[0].shape[2]
     inv_h2 = 1.0 / (h * h)
     bi = block_i
     si = bi + 2
@@ -922,21 +995,28 @@ def residual_df_norm_halo2d(uhi3, ulo3, fhi3, flo3, gij0, h, n, L, sjl,
         return r, part
 
     kernel = _make_halo2d_kernel(L, si, sje, sjl, sk, bi, 1, nb, 4, body,
-                                 with_norm=True)
+                                 with_norm=True, jdma=jdma)
     r, nrm2 = _halo2d_call(kernel, 4, L, si, sje, sjl, sk, bi,
-                           uhi3[0].dtype, with_norm=True)(
+                           uhi3[0].dtype, with_norm=True, jdma=jdma)(
         gij0, *uhi3, *ulo3, *fhi3, *flo3)
     return r, nrm2[0, 0]
 
 
-def residual_restrict_halo2d(u3, f3, gij0, h, n, Lc, sjlc, skc, block_i=8):
+def residual_restrict_halo2d(u3, f3, gij0, h, n, Lc, sjlc, skc, block_i=8,
+                             sjl=None):
     """residual_restrict_ext2d without the i-ext copies: the fine slab of
     coarse block b (start c = min(b*bi, Lc-bi)) is stitched from the
     j-extended triples as head 2 / mid 2*bi / tail 1 rows (the tail can
     only cross into the right buffer on the last block — see
-    pallas_sharded.residual_restrict_halo). Requires halo_ok(Lc, bi, 1)."""
+    pallas_sharded.residual_restrict_halo), or from (x, jl, jr, lh, rhc)
+    5-tuples on the fully copy-free j-DMA path (pass ``sjl`` = the fine
+    local j extent). Requires halo_ok(Lc, bi, 1)."""
+    jdma = len(u3) == 5
     nc = (n + 1) // 2
-    L2, sje, sk = u3[0].shape
+    L2 = u3[0].shape[0]
+    sk = u3[0].shape[2]
+    sje = (sjl + 2 * HJ) if jdma else u3[0].shape[1]
+    n_src = 5 if jdma else 3
     bi = block_i
     si = 2 * bi + 3
     nb = pl.cdiv(Lc, bi)
@@ -946,9 +1026,15 @@ def residual_restrict_halo2d(u3, f3, gij0, h, n, Lc, sjlc, skc, block_i=8):
         return jnp.minimum(blk * bi, Lc - bi)
 
     def in_tri(hbms, ins2, sem_i, v, slot, blk, do_start):
-        _tri_dma(hbms[3 * v], hbms[3 * v + 1], hbms[3 * v + 2],
-                 ins2.at[v, slot], sem_i.at[v, slot],
-                 2 * ob_of(blk), blk == 0, 2, 2 * bi, 1, L2, 0, do_start)
+        srcs = hbms[n_src * v: n_src * (v + 1)]
+        if jdma:
+            _tri_dma2d(*srcs, ins2.at[v, slot], sem_i.at[v, slot],
+                       2 * ob_of(blk), blk == 0, 2, 2 * bi, 1, L2, 0,
+                       sjl, do_start)
+        else:
+            _tri_dma(*srcs, ins2.at[v, slot], sem_i.at[v, slot],
+                     2 * ob_of(blk), blk == 0, 2, 2 * bi, 1, L2, 0,
+                     do_start)
 
     def out_dma(out_hbm, tile2, sem_o, slot, blk):
         return pltpu.make_async_copy(
@@ -956,9 +1042,9 @@ def residual_restrict_halo2d(u3, f3, gij0, h, n, Lc, sjlc, skc, block_i=8):
         )
 
     def kernel(gij0_ref, *refs):
-        hbms = refs[:6]
-        out_hbm = refs[6]
-        ins2, tile2, sem_i, sem_o = refs[7:]
+        hbms = refs[: 2 * n_src]
+        out_hbm = refs[2 * n_src]
+        ins2, tile2, sem_i, sem_o = refs[2 * n_src + 1:]
         i = pl.program_id(0)
         slot = jax.lax.rem(i, 2)
         nslot = jax.lax.rem(i + 1, 2)
@@ -1023,12 +1109,12 @@ def residual_restrict_halo2d(u3, f3, gij0, h, n, Lc, sjlc, skc, block_i=8):
         grid=(nb,),
         out_shape=jax.ShapeDtypeStruct((Lc, sjlc, skc), u3[0].dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * n_src),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, 2, si, sje, sk), u3[0].dtype),
             pltpu.VMEM((2, bi, sjlc, skc), u3[0].dtype),
-            pltpu.SemaphoreType.DMA((2, 2, 3)),
+            pltpu.SemaphoreType.DMA((2, 2, 9 if jdma else 3)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1045,11 +1131,17 @@ def prolong_smooth_halo2d(ec3, e3, r3, gij0, h, n_iter, n, L, sjl,
     """prolong_smooth_ext2d without the i-ext copies. Fine triples carry
     H = 2*n_iter i-halo buffers with a block_i-plane composite tail; the
     coarse triple lh has n_iter rows and its composite tail block_i//2
-    local rows + n_iter+1 halo rows (all j-extended). Requires
-    halo_ok(L, block_i, H) and block_i >= H+2."""
+    local rows + n_iter+1 halo rows (all j-extended) — or all three as
+    (x, jl, jr, lh, rhc) 5-tuples for the fully copy-free j-DMA path.
+    Requires halo_ok(L, block_i, H) and block_i >= H+2."""
+    jdma = len(e3) == 5
+    n_src = 5 if jdma else 3
     nc = (n + 1) // 2
-    _, sje, sk = e3[0].shape
-    Lc2, sjec, skc = ec3[0].shape
+    sk = e3[0].shape[2]
+    sje = (sjl + 2 * HJ) if jdma else e3[0].shape[1]
+    Lc2, skc = ec3[0].shape[0], ec3[0].shape[2]
+    sjlc = sjl // 2
+    sjec = (sjlc + 2 * HJ) if jdma else ec3[0].shape[1]
     bi = block_i
     H = 2 * n_iter
     si = bi + 2 * H
@@ -1061,15 +1153,24 @@ def prolong_smooth_halo2d(ec3, e3, r3, gij0, h, n_iter, n, L, sjl,
         return jnp.minimum(blk * bi, L - bi)  # even: L, bi even
 
     def in_tri_fine(hbms, ins2, sem_i, v, slot, blk, do_start):
-        _tri_dma(hbms[3 * v], hbms[3 * v + 1], hbms[3 * v + 2],
-                 ins2.at[v, slot], sem_i.at[v, slot],
-                 ob_of(blk), blk == 0, H, bi, H, L, bi, do_start)
+        srcs = hbms[n_src * v: n_src * (v + 1)]
+        if jdma:
+            _tri_dma2d(*srcs, ins2.at[v, slot], sem_i.at[v, slot],
+                       ob_of(blk), blk == 0, H, bi, H, L, bi, sjl,
+                       do_start)
+        else:
+            _tri_dma(*srcs, ins2.at[v, slot], sem_i.at[v, slot],
+                     ob_of(blk), blk == 0, H, bi, H, L, bi, do_start)
 
     def in_tri_coarse(hbms, ec2, sem_c, slot, blk, do_start):
-        _tri_dma(hbms[0], hbms[1], hbms[2],
-                 ec2.at[slot], sem_c.at[slot],
-                 ob_of(blk) // 2, blk == 0, n_iter, bi // 2, n_iter + 1,
-                 Lc2, bi // 2, do_start)
+        if jdma:
+            _tri_dma2d(*hbms[:5], ec2.at[slot], sem_c.at[slot],
+                       ob_of(blk) // 2, blk == 0, n_iter, bi // 2,
+                       n_iter + 1, Lc2, bi // 2, sjlc, do_start)
+        else:
+            _tri_dma(*hbms[:3], ec2.at[slot], sem_c.at[slot],
+                     ob_of(blk) // 2, blk == 0, n_iter, bi // 2,
+                     n_iter + 1, Lc2, bi // 2, do_start)
 
     def out_dma(out_hbm, tile2, sem_o, slot, blk):
         return pltpu.make_async_copy(
@@ -1077,10 +1178,10 @@ def prolong_smooth_halo2d(ec3, e3, r3, gij0, h, n_iter, n, L, sjl,
         )
 
     def kernel(gij0_ref, *refs):
-        chbms = refs[:3]
-        fhbms = refs[3:9]
-        out_hbm = refs[9]
-        ins2, ec2, tile2, sem_i, sem_c, sem_o = refs[10:]
+        chbms = refs[:n_src]
+        fhbms = refs[n_src: 3 * n_src]
+        out_hbm = refs[3 * n_src]
+        ins2, ec2, tile2, sem_i, sem_c, sem_o = refs[3 * n_src + 1:]
         i = pl.program_id(0)
         slot = jax.lax.rem(i, 2)
         nslot = jax.lax.rem(i + 1, 2)
@@ -1153,14 +1254,14 @@ def prolong_smooth_halo2d(ec3, e3, r3, gij0, h, n_iter, n, L, sjl,
         grid=(nb,),
         out_shape=jax.ShapeDtypeStruct((L, sjl, sk), e3[0].dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 9,
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (3 * n_src),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, 2, si, sje, sk), e3[0].dtype),
             pltpu.VMEM((2, sic, sjec, skc), e3[0].dtype),
             pltpu.VMEM((2, bi, sjl, sk), e3[0].dtype),
-            pltpu.SemaphoreType.DMA((2, 2, 3)),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 2, 9 if jdma else 3)),
+            pltpu.SemaphoreType.DMA((2, 9 if jdma else 3)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

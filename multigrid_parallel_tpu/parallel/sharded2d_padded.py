@@ -129,6 +129,34 @@ def _halo_parts2d(x, plan: ShardPlan2D, kl: int, kr: int,
     return (B, lh, rh)
 
 
+def _halo_parts2dj(x, plan: ShardPlan2D, kl: int, kr: int,
+                   tail_local: int = 0):
+    """(x, jl, jr, lh, rhc) for the fully COPY-FREE j-DMA 2D kernels
+    (ops.pallas_sharded2d _tri_dma2d): the raw local array, the two
+    (Li, HJ, K) j-halo buffers, and small J-EXTENDED i-edge buffers —
+    no (Li, SJL+16) array is ever materialized; the kernels stitch each
+    slab from up to 9 tile-aligned DMAs. Corner (diagonal-neighbor)
+    values are correct because the i ppermute happens AFTER the edge
+    rows are j-extended (two-hop j-then-i exchange). ``tail_local``
+    prepends that many j-extended local tail rows to rhc (the composite
+    the overlapped last block reads)."""
+    ax_i, ax_j = plan.axes
+    jl = jax.lax.ppermute(x[:, -px2.HJ:], ax_j, _perm_fwd(plan.ny))
+    jr = jax.lax.ppermute(x[:, :px2.HJ], ax_j, _perm_bwd(plan.ny))
+
+    def jrows(sl):
+        return jnp.concatenate([jl[sl], x[sl], jr[sl]], axis=1)
+
+    lh = jax.lax.ppermute(jrows(slice(-kl, None)), ax_i,
+                          _perm_fwd(plan.nx))
+    rh = jax.lax.ppermute(jrows(slice(None, kr)), ax_i,
+                          _perm_bwd(plan.nx))
+    if tail_local:
+        rh = jnp.concatenate([jrows(slice(x.shape[0] - tail_local, None)),
+                              rh], axis=0)
+    return (x, jl, jr, lh, rh)
+
+
 def _gij0(plan: ShardPlan2D, depth: int, halo_i: int):
     """(2,) i32 [global i of ext row 0, global j of ext col 0]."""
     gi = jax.lax.axis_index(plan.axes[0]) * plan.local_i(depth) - halo_i
@@ -466,29 +494,28 @@ def _build_local_cycle2d(
                 for it in range(n_it):
                     if from_zero and it == 0:
                         e = px2.rb_smooth_from_zero_halo2d(
-                            _halo_parts2d(r, plan, 2, 2, bi_1h), g, h, 1,
+                            _halo_parts2dj(r, plan, 2, 2, bi_1h), g, h, 1,
                             n, Li, Lj, red_first=red_first, block_i=bi_1h,
                         )
                     else:
                         e = px2.rb_smooth_halo2d(
-                            _halo_parts2d(e, plan, 2, 2, bi_1h),
-                            _halo_parts2d(r, plan, 2, 2, bi_1h),
+                            _halo_parts2dj(e, plan, 2, 2, bi_1h),
+                            _halo_parts2dj(r, plan, 2, 2, bi_1h),
                             g, h, 1, n, Li, Lj, red_first=red_first,
                             block_i=bi_1h,
                         )
                 return e
             if bi_fh:
-                # i-halo-DMA tier: the j-ext copy remains; the i-ext
-                # concatenate is replaced by in-kernel tri-source DMA
+                # copy-free j-DMA tier: both halos stitched in-kernel
                 g = _gij0(plan, depth, Hs)
                 if from_zero:
                     return px2.rb_smooth_from_zero_halo2d(
-                        _halo_parts2d(r, plan, Hs, Hs, bi_fh), g, h, n_it,
+                        _halo_parts2dj(r, plan, Hs, Hs, bi_fh), g, h, n_it,
                         n, Li, Lj, red_first=red_first, block_i=bi_fh,
                     )
                 return px2.rb_smooth_halo2d(
-                    _halo_parts2d(e, plan, Hs, Hs, bi_fh),
-                    _halo_parts2d(r, plan, Hs, Hs, bi_fh),
+                    _halo_parts2dj(e, plan, Hs, Hs, bi_fh),
+                    _halo_parts2dj(r, plan, Hs, Hs, bi_fh),
                     g, h, n_it, n, Li, Lj,
                     red_first=red_first, block_i=bi_fh,
                 )
@@ -517,10 +544,10 @@ def _build_local_cycle2d(
         if bi_rh:
             skc = cp._coarse_k_width(n, sk)
             rc = px2.residual_restrict_halo2d(
-                _halo_parts2d(e, plan, 2, 1),
-                _halo_parts2d(r, plan, 2, 1),
+                _halo_parts2dj(e, plan, 2, 1),
+                _halo_parts2dj(r, plan, 2, 1),
                 _gij0(plan, depth, 2), h, n,
-                Li // 2, Lj // 2, skc, block_i=bi_rh,
+                Li // 2, Lj // 2, skc, block_i=bi_rh, sjl=Lj,
             )
         elif bi_r:
             skc = cp._coarse_k_width(n, sk)
@@ -550,9 +577,9 @@ def _build_local_cycle2d(
             bi_p1h = _halo_bi(bi_p1, Li, 4)
             if bi_p1h:
                 e = px2.prolong_smooth_halo2d(
-                    _halo_parts2d(ec, plan, 1, 2, bi_p1h // 2),
-                    _halo_parts2d(e, plan, 2, 2, bi_p1h),
-                    _halo_parts2d(r, plan, 2, 2, bi_p1h),
+                    _halo_parts2dj(ec, plan, 1, 2, bi_p1h // 2),
+                    _halo_parts2dj(e, plan, 2, 2, bi_p1h),
+                    _halo_parts2dj(r, plan, 2, 2, bi_p1h),
                     _gij0(plan, depth, 2), h, 1, n, Li, Lj,
                     block_i=bi_p1h,
                 )
@@ -573,9 +600,10 @@ def _build_local_cycle2d(
             return smooth_stage(e, r, red_first=False)
         if bi_ph:
             e = px2.prolong_smooth_halo2d(
-                _halo_parts2d(ec, plan, n_smooth, n_smooth + 1, bi_ph // 2),
-                _halo_parts2d(e, plan, H, H, bi_ph),
-                _halo_parts2d(r, plan, H, H, bi_ph),
+                _halo_parts2dj(ec, plan, n_smooth, n_smooth + 1,
+                               bi_ph // 2),
+                _halo_parts2dj(e, plan, H, H, bi_ph),
+                _halo_parts2dj(r, plan, H, H, bi_ph),
                 _gij0(plan, depth, H), h, n_smooth, n, Li, Lj,
                 block_i=bi_ph,
             )
@@ -682,7 +710,7 @@ def make_sharded2d_padded_df_solver(
         bi_h = _halo_bi(bi, Li0, 1)
         use2d = _use_pallas2d(n, Li0, Lj0, 1, jnp_level_max, min_lj=px2.HJ)
         if bi_h and use2d:
-            parts = [_halo_parts2d(a, plan, 1, 1, bi_h)
+            parts = [_halo_parts2dj(a, plan, 1, 1, bi_h)
                      for a in (u_hi, u_lo, f_hi, f_lo)]
             r, part = px2.residual_df_norm_halo2d(
                 *parts, _gij0(plan, 0, 1), h, n, Li0, Lj0, block_i=bi_h,

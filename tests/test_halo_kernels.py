@@ -492,3 +492,133 @@ def test_mixed_prolong_smooth_halo_matches_ext(mesh):
     a = np.asarray(_shmap(loc_ext, mesh, 3)(*args))
     b = np.asarray(_shmap(loc_halo, mesh, 3)(*args))
     np.testing.assert_array_equal(a, b)
+
+
+# ------------------ copy-free j-DMA 2D tier (x, jl, jr, lh, rhc) -------
+# (round-4: the production 2D dispatch; the B-copy triples remain as
+# the oracle here.)
+
+
+def test_rb_smooth_jdma_matches_bcopy(mesh2d):
+    plan = _plan2d()
+    Li, Lj = plan.fine_local_i, plan.fine_local_j
+    u, f = _rand(61), _rand(62)
+    hh, bi = 4, 8
+
+    def loc_b(ul, fl):
+        g = s2p._gij0(plan, 0, hh)
+        return px2.rb_smooth_halo2d(
+            s2p._halo_parts2d(ul, plan, hh, hh, bi),
+            s2p._halo_parts2d(fl, plan, hh, hh, bi),
+            g, H, 2, N, Li, Lj, red_first=True, block_i=bi)
+
+    def loc_j(ul, fl):
+        g = s2p._gij0(plan, 0, hh)
+        return px2.rb_smooth_halo2d(
+            s2p._halo_parts2dj(ul, plan, hh, hh, bi),
+            s2p._halo_parts2dj(fl, plan, hh, hh, bi),
+            g, H, 2, N, Li, Lj, red_first=True, block_i=bi)
+
+    args = (_to_global2d(u, plan), _to_global2d(f, plan))
+    a = np.asarray(_shmap2d(loc_b, mesh2d, 2)(*args))
+    b = np.asarray(_shmap2d(loc_j, mesh2d, 2)(*args))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_residual_restrict_jdma_matches_bcopy(mesh2d):
+    plan = _plan2d()
+    Li, Lj = plan.fine_local_i, plan.fine_local_j
+    u, f = _rand(63), _rand(64)
+    bi = 4
+    skc = cp._coarse_k_width(N, pk.padded_shape(N)[2])
+
+    def loc_b(ul, fl):
+        g = s2p._gij0(plan, 0, 2)
+        return px2.residual_restrict_halo2d(
+            s2p._halo_parts2d(ul, plan, 2, 1),
+            s2p._halo_parts2d(fl, plan, 2, 1),
+            g, H, N, Li // 2, Lj // 2, skc, block_i=bi)
+
+    def loc_j(ul, fl):
+        g = s2p._gij0(plan, 0, 2)
+        return px2.residual_restrict_halo2d(
+            s2p._halo_parts2dj(ul, plan, 2, 1),
+            s2p._halo_parts2dj(fl, plan, 2, 1),
+            g, H, N, Li // 2, Lj // 2, skc, block_i=bi, sjl=Lj)
+
+    args = (_to_global2d(u, plan), _to_global2d(f, plan))
+    a = np.asarray(_shmap2d(loc_b, mesh2d, 2)(*args))
+    b = np.asarray(_shmap2d(loc_j, mesh2d, 2)(*args))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_prolong_smooth_jdma_matches_bcopy(mesh2d):
+    plan = _plan2d()
+    Li, Lj = plan.fine_local_i, plan.fine_local_j
+    nc = (N + 1) // 2
+    ec = _rand(65, n=nc, zero_boundary=True)
+    e = _rand(66, zero_boundary=True)
+    r = _rand(67, zero_boundary=True)
+    n_iter, bi = 2, 6
+    hh = 2 * n_iter
+
+    def to_g_coarse(x):
+        _, sjc, _ = pk.padded_shape(nc)
+        xp = pk.pad3(x)
+        return jnp.pad(
+            xp,
+            ((0, plan.padded_i(1) - nc), (0, plan.padded_j(1) - sjc), (0, 0)),
+        )
+
+    def loc(parts):
+        def go(ecl, el, rl):
+            g = s2p._gij0(plan, 0, hh)
+            return px2.prolong_smooth_halo2d(
+                parts(ecl, plan, n_iter, n_iter + 1, bi // 2),
+                parts(el, plan, hh, hh, bi),
+                parts(rl, plan, hh, hh, bi),
+                g, H, n_iter, N, Li, Lj, block_i=bi)
+        return go
+
+    from jax.sharding import PartitionSpec as P2
+    spec = P2("x", "y")
+
+    def run(fn):
+        return jax.jit(jax.shard_map(
+            fn, mesh=mesh2d, in_specs=(spec,) * 3, out_specs=spec,
+            check_vma=False,
+        ))(to_g_coarse(ec), _to_global2d(e, plan), _to_global2d(r, plan))
+
+    a = np.asarray(run(loc(s2p._halo_parts2d)))
+    b = np.asarray(run(loc(s2p._halo_parts2dj)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_residual_df_norm_jdma_matches_bcopy(mesh2d):
+    plan = _plan2d()
+    Li, Lj = plan.fine_local_i, plan.fine_local_j
+    arrs = [_rand(s) for s in (71, 72, 73, 74)]
+    bi = 8
+
+    def loc(parts):
+        def go(a1, a2, a3, a4):
+            g = s2p._gij0(plan, 0, 1)
+            ps = [parts(x, plan, 1, 1, bi) for x in (a1, a2, a3, a4)]
+            r, p = px2.residual_df_norm_halo2d(*ps, g, H, N, Li, Lj,
+                                               block_i=bi)
+            return r, jax.lax.psum(p, ("x", "y")).reshape(1, 1)
+        return go
+
+    from jax.sharding import PartitionSpec as P2
+    spec = P2("x", "y")
+
+    def run(fn):
+        return jax.jit(jax.shard_map(
+            fn, mesh=mesh2d, in_specs=(spec,) * 4,
+            out_specs=(spec, P2()), check_vma=False,
+        ))(*[_to_global2d(x, plan) for x in arrs])
+
+    ra, na = run(loc(s2p._halo_parts2d))
+    rb, nb2 = run(loc(s2p._halo_parts2dj))
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+    assert float(np.asarray(na).ravel()[0]) == float(np.asarray(nb2).ravel()[0])
