@@ -1,9 +1,10 @@
 """Compile + run the 1025-level 2D halo kernels under REAL Mosaic at the
 deployment-plan local shapes (docs/SCALING.md dispatch map): the 4x4
-mesh's finest level (Li=288, Lj=288, split ladder bi=4) and the 8x8
-mesh's (Li=144, Lj=144, full window bi=6). 1-dev stand-in side buffers
-(zeros) -- this validates lowering + timing of the hottest 1025^3
-stage, not multi-chip execution (unavailable here)."""
+mesh's finest level (Li=272, Lj=272, split ladder bi=4 — the 7%
+padding-cap planner widths) and the 8x8 mesh's (Li=144, Lj=144, full
+window bi=6). 1-dev stand-in side buffers (zeros) -- this validates
+lowering + timing of the hottest 1025^3 stage, not multi-chip
+execution (unavailable here)."""
 import sys
 import time
 
@@ -29,7 +30,7 @@ h = 1.0 / (n - 1)
 sk = pk.padded_shape_trim(n)[2]  # 1024 (k-TRIM production width)
 
 for label, Li, Lj, bi, n_iter in (
-    ("4x4 plan, split ladder", 288, 288, 4, 1),
+    ("4x4 plan, split ladder", 272, 272, 4, 1),
     ("8x8 plan, full window", 144, 144, 6, 2),
 ):
     sje = Lj + 2 * px2.HJ

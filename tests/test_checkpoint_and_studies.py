@@ -59,14 +59,16 @@ def test_smoother_study_jacobi_slower_than_rb():
 def test_smoother_study_50cubed_reference_fingerprint():
     # The reference's published artifact (red_black_gs_scalability.txt):
     # standalone RB-GS at 50^3 converges with asymptotic per-iteration
-    # ratio 0.983675. Reproduce the ratio to ~1e-3.
-    # the asymptotic ratio is reached long before full convergence
-    # (full 1e-8 convergence takes ~1500 iterations at this rate)
+    # ratio 0.983675. The asymptotic ratio is reached long before full
+    # convergence (full 1e-8 convergence takes ~1500 iterations at this
+    # rate); at 600 iterations our pair ratio has settled to 0.9836746,
+    # i.e. within 5e-7 of the artifact — the artifact itself only
+    # carries 6 digits, so 1e-5 is the meaningful agreement bound.
     # The reference study's reported per-iteration ratio corresponds to
     # TWO of our red-first+black-first pairs (their smootherIter=2), so
     # the published 0.983675 equals our asymptotic pair-ratio squared.
-    res = smoother_study(n=50, rel_tol=1e-8, max_iters=400)
-    assert res.final_ratio**2 == pytest.approx(0.983675, abs=2e-3), res.final_ratio
+    res = smoother_study(n=50, rel_tol=1e-8, max_iters=600)
+    assert res.final_ratio**2 == pytest.approx(0.983675, abs=1e-5), res.final_ratio
 
 
 def test_smoother_study_pallas_matches_jnp():
