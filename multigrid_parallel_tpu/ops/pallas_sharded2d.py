@@ -726,10 +726,16 @@ def _tri_dma2d(x, jl, jr, lh, rhc, dst, sem9, s, first, kl, mid, kr, L,
     [HJ+Lj,+HJ)) from the RAW local array ``x`` (Li, Lj, K), the
     j-halo buffers ``jl``/``jr`` (Li, HJ, K), and the J-EXTENDED i-edge
     buffers ``lh`` (kl, sje, K) / ``rhc`` (tail_local+kr, sje, K).
-    Up to 9 DMAs per slab; every j window is a multiple of the 8-column
-    sublane tile (HJ == 8, Lj % 8 == 0), so all windows are
-    Mosaic-tile-aligned. Same overlap/composite predicates as _tri_dma
-    (pallas_sharded)."""
+    Up to 9 DMAs per slab. Alignment: only the MINOR (lane/k) dim needs
+    Mosaic tile alignment, and every window here spans the full k
+    extent; the j windows land on the SUBLANE dim, where offsets need
+    not be 8-aligned. On the fine levels they are anyway (HJ == 8 and
+    the _use_pallas2d gate's Lj % 8 == 0); prolong's coarse slab
+    (Lj = sjlc = sjl//2) may be sublane-unaligned (e.g. sjlc=68 under
+    the 7%-cap 257^3 1x1 plan) — validated under real Mosaic by stage E
+    of scripts/tpu_sharded_compile.py (whole-solve convergence match)
+    and bitwise in tests/test_halo_kernels.py at sjlc % 8 != 0. Same
+    overlap/composite predicates as _tri_dma (pallas_sharded)."""
 
     def op(c):
         c.start() if do_start else c.wait()
@@ -772,6 +778,21 @@ def _tri_dma2d(x, jl, jr, lh, rhc, dst, sem9, s, first, kl, mid, kr, L,
             row3(t, kr, kl + mid, 6)
 
 
+def _stitch(srcs, dst, sem, s, first, kl, mid, kr, L, tail_local, Lj,
+            do_start):
+    """One slab assembly, dispatched by source arity: (x, jl, jr, lh,
+    rhc) 5-tuples take the fully copy-free j-DMA stitch (_tri_dma2d),
+    (B, lh, rhc) triples the j-extended i-halo stitch (_tri_dma; ``Lj``
+    unused). Shared by all four halo2d kernel families so the stitch
+    signature has a single dispatch point."""
+    if len(srcs) == 5:
+        _tri_dma2d(*srcs, dst, sem, s, first, kl, mid, kr, L, tail_local,
+                   Lj, do_start)
+    else:
+        _tri_dma(*srcs, dst, sem, s, first, kl, mid, kr, L, tail_local,
+                 do_start)
+
+
 def _make_halo2d_kernel(L, si, sje, sjl, sk, bi, halo_i, nb, n_in, body,
                         with_norm=False, jdma=False):
     """_make_ext2d_kernel with tri-source i-halo DMA: inputs are n_in
@@ -789,14 +810,9 @@ def _make_halo2d_kernel(L, si, sje, sjl, sk, bi, halo_i, nb, n_in, body,
 
     def in_tri(hbms, ins2, sem_i, v, slot, blk, do_start):
         srcs = hbms[n_src * v: n_src * (v + 1)]
-        if jdma:
-            _tri_dma2d(*srcs, ins2.at[v, slot], sem_i.at[v, slot],
-                       ob_of(blk), blk == 0, halo_i, bi, halo_i, L, bi,
-                       sjl, do_start)
-        else:
-            _tri_dma(*srcs, ins2.at[v, slot], sem_i.at[v, slot],
-                     ob_of(blk), blk == 0, halo_i, bi, halo_i, L, bi,
-                     do_start)
+        _stitch(srcs, ins2.at[v, slot], sem_i.at[v, slot],
+                ob_of(blk), blk == 0, halo_i, bi, halo_i, L, bi,
+                sjl, do_start)
 
     def out_dma(out_hbm, tile2, sem_o, slot, blk):
         return pltpu.make_async_copy(
@@ -1009,12 +1025,16 @@ def residual_restrict_halo2d(u3, f3, gij0, h, n, Lc, sjlc, skc, block_i=8,
     j-extended triples as head 2 / mid 2*bi / tail 1 rows (the tail can
     only cross into the right buffer on the last block — see
     pallas_sharded.residual_restrict_halo), or from (x, jl, jr, lh, rhc)
-    5-tuples on the fully copy-free j-DMA path (pass ``sjl`` = the fine
-    local j extent). Requires halo_ok(Lc, bi, 1)."""
+    5-tuples on the fully copy-free j-DMA path (the fine local j extent
+    is read off the raw array; the ``sjl`` kwarg is kept for caller
+    symmetry and checked when given). Requires halo_ok(Lc, bi, 1)."""
     jdma = len(u3) == 5
     nc = (n + 1) // 2
     L2 = u3[0].shape[0]
     sk = u3[0].shape[2]
+    if jdma:
+        assert sjl is None or sjl == u3[0].shape[1], (sjl, u3[0].shape)
+        sjl = u3[0].shape[1]
     sje = (sjl + 2 * HJ) if jdma else u3[0].shape[1]
     n_src = 5 if jdma else 3
     bi = block_i
@@ -1027,14 +1047,9 @@ def residual_restrict_halo2d(u3, f3, gij0, h, n, Lc, sjlc, skc, block_i=8,
 
     def in_tri(hbms, ins2, sem_i, v, slot, blk, do_start):
         srcs = hbms[n_src * v: n_src * (v + 1)]
-        if jdma:
-            _tri_dma2d(*srcs, ins2.at[v, slot], sem_i.at[v, slot],
-                       2 * ob_of(blk), blk == 0, 2, 2 * bi, 1, L2, 0,
-                       sjl, do_start)
-        else:
-            _tri_dma(*srcs, ins2.at[v, slot], sem_i.at[v, slot],
-                     2 * ob_of(blk), blk == 0, 2, 2 * bi, 1, L2, 0,
-                     do_start)
+        _stitch(srcs, ins2.at[v, slot], sem_i.at[v, slot],
+                2 * ob_of(blk), blk == 0, 2, 2 * bi, 1, L2, 0,
+                sjl, do_start)
 
     def out_dma(out_hbm, tile2, sem_o, slot, blk):
         return pltpu.make_async_copy(
@@ -1154,23 +1169,15 @@ def prolong_smooth_halo2d(ec3, e3, r3, gij0, h, n_iter, n, L, sjl,
 
     def in_tri_fine(hbms, ins2, sem_i, v, slot, blk, do_start):
         srcs = hbms[n_src * v: n_src * (v + 1)]
-        if jdma:
-            _tri_dma2d(*srcs, ins2.at[v, slot], sem_i.at[v, slot],
-                       ob_of(blk), blk == 0, H, bi, H, L, bi, sjl,
-                       do_start)
-        else:
-            _tri_dma(*srcs, ins2.at[v, slot], sem_i.at[v, slot],
-                     ob_of(blk), blk == 0, H, bi, H, L, bi, do_start)
+        _stitch(srcs, ins2.at[v, slot], sem_i.at[v, slot],
+                ob_of(blk), blk == 0, H, bi, H, L, bi, sjl, do_start)
 
     def in_tri_coarse(hbms, ec2, sem_c, slot, blk, do_start):
-        if jdma:
-            _tri_dma2d(*hbms[:5], ec2.at[slot], sem_c.at[slot],
-                       ob_of(blk) // 2, blk == 0, n_iter, bi // 2,
-                       n_iter + 1, Lc2, bi // 2, sjlc, do_start)
-        else:
-            _tri_dma(*hbms[:3], ec2.at[slot], sem_c.at[slot],
-                     ob_of(blk) // 2, blk == 0, n_iter, bi // 2,
-                     n_iter + 1, Lc2, bi // 2, do_start)
+        # On the j-DMA path the coarse slab's j windows are sublane-
+        # unaligned whenever sjlc % 8 != 0 — allowed (see _tri_dma2d).
+        _stitch(hbms[:n_src], ec2.at[slot], sem_c.at[slot],
+                ob_of(blk) // 2, blk == 0, n_iter, bi // 2,
+                n_iter + 1, Lc2, bi // 2, sjlc, do_start)
 
     def out_dma(out_hbm, tile2, sem_o, slot, blk):
         return pltpu.make_async_copy(

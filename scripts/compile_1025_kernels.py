@@ -2,7 +2,9 @@
 deployment-plan local shapes (docs/SCALING.md dispatch map): the 4x4
 mesh's finest level (Li=272, Lj=272, split ladder bi=4 — the 7%
 padding-cap planner widths) and the 8x8 mesh's (Li=144, Lj=144, full
-window bi=6). 1-dev stand-in side buffers (zeros) -- this validates
+window bi=6). Drives the PRODUCTION copy-free j-DMA path ((x, jl, jr,
+lh, rhc) 5-tuples, _tri_dma2d stitching — what sharded2d_padded
+dispatches) with 1-dev stand-in side buffers (zeros); this validates
 lowering + timing of the hottest 1025^3 stage, not multi-chip
 execution (unavailable here)."""
 import sys
@@ -33,37 +35,41 @@ for label, Li, Lj, bi, n_iter in (
     ("4x4 plan, split ladder", 272, 272, 4, 1),
     ("8x8 plan, full window", 144, 144, 6, 2),
 ):
-    sje = Lj + 2 * px2.HJ
     rng = np.random.default_rng(0)
-    B = jnp.asarray(rng.standard_normal((Li, sje, sk)).astype(np.float32))
+    B = jnp.asarray(rng.standard_normal((Li, Lj, sk)).astype(np.float32))
     hh = 2 * n_iter
+    sje = Lj + 2 * px2.HJ
 
-    def parts(x, kl, kr, tl):
-        zl = jnp.zeros((kl,) + x.shape[1:], x.dtype)
-        zr = jnp.zeros((kr,) + x.shape[1:], x.dtype)
-        rhc = jnp.concatenate([x[x.shape[0] - tl:], zr], 0) if tl else zr
-        return (x, zl, rhc)
+    def parts5(x, kl, kr, tl):
+        # 1-dev stand-in for _halo_parts2dj: zero j/i halo buffers, the
+        # composite right edge carries the local tail rows (j-extended).
+        jz = jnp.zeros((x.shape[0], px2.HJ, sk), x.dtype)
+        lh = jnp.zeros((kl, sje, sk), x.dtype)
+        zr = jnp.zeros((kr, sje, sk), x.dtype)
+        if tl:
+            tail = jnp.pad(x[x.shape[0] - tl:],
+                           ((0, 0), (px2.HJ, px2.HJ), (0, 0)))
+            zr = jnp.concatenate([tail, zr], 0)
+        return (x, jz, jz, lh, zr)
 
     gij0 = jnp.asarray([-hh, -px2.HJ], jnp.int32)
     t0 = time.perf_counter()
-    out = px2.rb_smooth_halo2d(parts(B, hh, hh, bi), parts(B, hh, hh, bi),
+    out = px2.rb_smooth_halo2d(parts5(B, hh, hh, bi), parts5(B, hh, hh, bi),
                                gij0, h, n_iter, n, Li, Lj,
                                red_first=True, block_i=bi)
     s = sync(out)
     dt = time.perf_counter() - t0
-    # chain-slope stage time
-    def jext(x):  # 1-dev stand-in for the j halo exchange
-        return jnp.pad(x, ((0, 0), (px2.HJ, px2.HJ), (0, 0)))
 
+    # chain-slope stage time; the j-DMA output is the raw local array,
+    # so the chain needs no re-extension between stages.
     def chain(reps):
         @jax.jit
         def go(e, r):
             for _ in range(reps):
-                e = px2.rb_smooth_halo2d(parts(e, hh, hh, bi),
-                                         parts(r, hh, hh, bi),
+                e = px2.rb_smooth_halo2d(parts5(e, hh, hh, bi),
+                                         parts5(r, hh, hh, bi),
                                          gij0, h, n_iter, n, Li, Lj,
                                          red_first=True, block_i=bi)
-                e = jext(e)
             return e
         return go
     g1, g2 = chain(2), chain(6)
@@ -77,6 +83,6 @@ for label, Li, Lj, bi, n_iter in (
             best = min(best, time.perf_counter() - t0)
         ts.append(best)
     slope = (ts[1] - ts[0]) / 4
-    print(f"1025-level smoother [{label}] Li={Li} sje={sje} sk={sk} "
-          f"bi={bi} n_iter={n_iter}: compile+run {dt:.1f}s, "
+    print(f"1025-level smoother [{label}] Li={Li} Lj={Lj} sk={sk} "
+          f"bi={bi} n_iter={n_iter} (j-DMA path): compile+run {dt:.1f}s, "
           f"stage slope {slope*1e3:.2f} ms", flush=True)

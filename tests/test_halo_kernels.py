@@ -594,6 +594,57 @@ def test_prolong_smooth_jdma_matches_bcopy(mesh2d):
     np.testing.assert_array_equal(a, b)
 
 
+def test_prolong_smooth_jdma_unaligned_coarse(mesh2d):
+    # sjlc = Lj//2 = 20 is NOT a multiple of the 8-row sublane tile: the
+    # coarse slab's j-DMA windows are sublane-unaligned (allowed — only
+    # the minor/lane dim needs tile alignment; see _tri_dma2d). This is
+    # the geometry production plans hit under the 7% padding cap (e.g.
+    # 257^3 1x1: depth-1 Lj=136 -> sjlc=68). Pin it bitwise vs the
+    # B-copy tier.
+    from multigrid_parallel_tpu.parallel.sharded2d import ShardPlan2D
+
+    plan = ShardPlan2D(nx=4, ny=2, axes=("x", "y"), n_sharded=2,
+                       fine_local_i=12, fine_local_j=40)
+    Li, Lj = plan.fine_local_i, plan.fine_local_j
+    nc = (N + 1) // 2
+    ec = _rand(81, n=nc, zero_boundary=True)
+    e = _rand(82, zero_boundary=True)
+    r = _rand(83, zero_boundary=True)
+    n_iter, bi = 2, 6
+    hh = 2 * n_iter
+
+    def to_g_coarse(x):
+        _, sjc, _ = pk.padded_shape(nc)
+        xp = pk.pad3(x)
+        return jnp.pad(
+            xp,
+            ((0, plan.padded_i(1) - nc), (0, plan.padded_j(1) - sjc), (0, 0)),
+        )
+
+    def loc(parts):
+        def go(ecl, el, rl):
+            g = s2p._gij0(plan, 0, hh)
+            return px2.prolong_smooth_halo2d(
+                parts(ecl, plan, n_iter, n_iter + 1, bi // 2),
+                parts(el, plan, hh, hh, bi),
+                parts(rl, plan, hh, hh, bi),
+                g, H, n_iter, N, Li, Lj, block_i=bi)
+        return go
+
+    from jax.sharding import PartitionSpec as P2
+    spec = P2("x", "y")
+
+    def run(fn):
+        return jax.jit(jax.shard_map(
+            fn, mesh=mesh2d, in_specs=(spec,) * 3, out_specs=spec,
+            check_vma=False,
+        ))(to_g_coarse(ec), _to_global2d(e, plan), _to_global2d(r, plan))
+
+    a = np.asarray(run(loc(s2p._halo_parts2d)))
+    b = np.asarray(run(loc(s2p._halo_parts2dj)))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_residual_df_norm_jdma_matches_bcopy(mesh2d):
     plan = _plan2d()
     Li, Lj = plan.fine_local_i, plan.fine_local_j
