@@ -59,6 +59,12 @@ def main(argv=None):
                    help="electrospray k-FOLD fused performance tier "
                         "(fastest mixed-BC path; use with "
                         "--electrospray --gamma 2)")
+    p.add_argument("--gamma-min", type=int, default=0, metavar="N",
+                   help="W-cycle depth cap: gamma revisits only on "
+                        "sub-levels of size >= N (0 = full W-cycle; "
+                        "the deep revisits are launch-latency-bound "
+                        "and contribute nothing past ~finest/4 — "
+                        "docs/MIXED_BC.md)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -115,7 +121,8 @@ def main(argv=None):
         bw, bi = args.band if args.band else (0, 0)
         ms = MixedBCSolver(prob, hier, n_smooth=args.gs_iter,
                            gamma=args.gamma, boundary_band_width=bw,
-                           boundary_band_iters=bi)
+                           boundary_band_iters=bi,
+                           gamma_min_n=args.gamma_min)
         t0 = time.perf_counter()
         if args.fold:
             # k-FOLD fused Pallas tier (round 4): the fastest mixed-BC

@@ -105,6 +105,13 @@ class MixedBCSolver:
     # (0 = off = the reference-shaped cycle).
     boundary_band_width: int = 0
     boundary_band_iters: int = 0
+    # W-cycle depth cap: gamma revisits apply only to sub-levels of size
+    # >= gamma_min_n. At gamma=2 the visit count doubles per depth (64
+    # coarsest-level visits at 257^3), and the sub-33^3 visits are
+    # launch-latency-bound on TPU, not compute-bound; the copy-BC
+    # boundary-layer mode the W-cycle fights is attacked by the FINE
+    # levels' revisits. 0 = full W-cycle (unchanged default).
+    gamma_min_n: int = 0
 
     def __post_init__(self):
         self._masks: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
@@ -186,7 +193,7 @@ class MixedBCSolver:
         fc = ops3.restrict_full_weighting(r)
         ec0 = jnp.zeros((self.hier.sizes[lvl - 1],) * 3, dtype=u.dtype)
         ec = self._descend(ec0, fc, lvl - 1, zero_dirichlet=True)
-        if lvl - 1 > 0:
+        if lvl - 1 > 0 and self.hier.sizes[lvl - 1] >= self.gamma_min_n:
             for _ in range(self.gamma - 1):  # W-cycle revisits
                 ec = self._descend(ec, fc, lvl - 1, zero_dirichlet=True)
         u = ops3.prolong_correct(ec, u)
@@ -294,7 +301,7 @@ class MixedBCSolver:
             fc = ops3.restrict_full_weighting(r)
             ec0 = jnp.zeros((self.hier.sizes[lvl - 1],) * 3, dtype=e.dtype)
             ec = descend32(ec0, fc, lvl - 1)
-            if lvl - 1 > 0:
+            if lvl - 1 > 0 and self.hier.sizes[lvl - 1] >= self.gamma_min_n:
                 for _ in range(self.gamma - 1):  # W-cycle revisits
                     ec = descend32(ec, fc, lvl - 1)
             e = ops3.prolong_correct(ec, e)

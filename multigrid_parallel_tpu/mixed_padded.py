@@ -80,6 +80,7 @@ def _make_mixed_descend(
     equation (zero Dirichlet pins, Neumann copies at every level)."""
     n_smooth = solver.n_smooth
     gamma = solver.gamma
+    gamma_min_n = solver.gamma_min_n
     problem = solver.problem
 
     pins = []
@@ -151,8 +152,8 @@ def _make_mixed_descend(
 
     def _recurse(rc, level):
         ec = descend(None, rc, level, from_zero=True)
-        if level > 0:
-            for _ in range(gamma - 1):  # W-cycle revisits
+        if level > 0 and hier32.sizes[level] >= gamma_min_n:
+            for _ in range(gamma - 1):  # W-cycle revisits (depth-capped)
                 ec = descend(ec, rc, level)
         return ec
 
@@ -276,6 +277,7 @@ def _make_mixed_descend_fold(
     """descend(e_f, r_f, level, from_zero) on fold-layout arrays."""
     n_smooth = solver.n_smooth
     gamma = solver.gamma
+    gamma_min_n = solver.gamma_min_n
     problem = solver.problem
     full = _make_mixed_descend(solver, hier32, jnp_level_max, block_i)
 
@@ -316,8 +318,8 @@ def _make_mixed_descend_fold(
                 e, r, pin, h, n_smooth, n, red_first=True, block_i=bi_s)
         rc = pmf.residual_restrict_fold(e, r, h, n, block_i=bi_rr)
         ec = descend(None, rc, level - 1, from_zero=True)
-        if level - 1 > 0:
-            for _ in range(gamma - 1):  # W-cycle revisits
+        if level - 1 > 0 and hier32.sizes[level - 1] >= gamma_min_n:
+            for _ in range(gamma - 1):  # W-cycle revisits (depth-capped)
                 ec = descend(ec, rc, level - 1)
         sgn_c, has_delta = sgns_f[level - 1]
         return pmf.mixed_prolong_smooth_fold(ec, e, r, pin, sgn_c, h,

@@ -138,6 +138,7 @@ def make_sharded_mixed_bc_cycle(
         plan = plan_sharding(hier, n_dev, axis)
     problem = solver.problem
     gamma = solver.gamma
+    gamma_min_n = solver.gamma_min_n
     n_smooth = solver.n_smooth
     bw, bits = solver.boundary_band_width, solver.boundary_band_iters
     dtype = hier.dtype
@@ -192,8 +193,8 @@ def make_sharded_mixed_bc_cycle(
         r = residual_local(u, f_local, h, nl, axis, n_dev)
         fc = restrict_local(r, nl, axis, n_dev)
         ec = correction(fc, level - 1, depth + 1)
-        if level - 1 > 0:
-            for _ in range(gamma - 1):
+        if level - 1 > 0 and hier.sizes[level - 1] >= gamma_min_n:
+            for _ in range(gamma - 1):  # W-cycle revisits (depth-capped)
                 ec = correction(fc, level - 1, depth + 1, e_init=ec)
         u = prolong_correct_local(ec, u, hier.sizes[level - 1], axis, n_dev)
         u = apply_bcs_local(u, nl, axis, n_dev, pin0, pin1)
@@ -238,8 +239,8 @@ def make_sharded_mixed_bc_cycle(
         fc = ops3.restrict_full_weighting(r)
         ec = _descend_rep(jnp.zeros((hier.sizes[level - 1],) * 3, e.dtype),
                           fc, level - 1)
-        if level - 1 > 0:
-            for _ in range(gamma - 1):
+        if level - 1 > 0 and hier.sizes[level - 1] >= gamma_min_n:
+            for _ in range(gamma - 1):  # W-cycle revisits (depth-capped)
                 ec = _descend_rep(ec, fc, level - 1)
         e = ops3.prolong_correct(ec, e)
         e = ops3.apply_neumann_copy(e)
@@ -259,8 +260,8 @@ def make_sharded_mixed_bc_cycle(
         r = residual_local(u, f, h, n, axis, n_dev)
         fc = restrict_local(r, n, axis, n_dev)
         ec = correction(fc, level - 1, 1)
-        if level - 1 > 0:
-            for _ in range(gamma - 1):
+        if level - 1 > 0 and hier.sizes[level - 1] >= gamma_min_n:
+            for _ in range(gamma - 1):  # W-cycle revisits (depth-capped)
                 ec = correction(fc, level - 1, 1, e_init=ec)
         u = prolong_correct_local(ec, u, hier.sizes[level - 1], axis, n_dev)
         u = apply_bcs_local(u, n, axis, n_dev, pin0, pin1, vals0, vals1)

@@ -123,6 +123,7 @@ def _build_local_mixed_cycle(
     shard_map — the mixed twin of sharded_padded._build_local_cycle."""
     n_smooth = solver.n_smooth
     gamma = solver.gamma
+    gamma_min_n = solver.gamma_min_n
     problem = solver.problem
     H = 2 * n_smooth
     rep_level = hier32.num_levels - 1 - plan.n_sharded
@@ -220,8 +221,8 @@ def _build_local_mixed_cycle(
             rc = restrict_local_padded(res, n, axis, n_dev)
 
         ec = descend(None, rc, level - 1, depth + 1, from_zero=True)
-        if level - 1 > 0:
-            for _ in range(gamma - 1):  # W-cycle revisits
+        if level - 1 > 0 and hier32.sizes[level - 1] >= gamma_min_n:
+            for _ in range(gamma - 1):  # W-cycle revisits (depth-capped)
                 ec = descend(ec, rc, level - 1, depth + 1)
 
         # --- prolong + correct + BCs + post-smooth (black-first)

@@ -216,3 +216,26 @@ def test_mixed_fold_df_solver_wcycle():
     )
     assert int(it_f) == it_ref
     assert int(it_f) <= 20
+
+
+def test_mixed_wcycle_depth_cap():
+    """gamma_min_n (the W-cycle depth cap, docs/MIXED_BC.md §4): at 33^3
+    capping revisits to sub-levels >= 17 skips only the 9-level revisit
+    and costs at most ~1 extra cycle; the fused fold tier honors the cap
+    and matches the capped host device cycle's outer count."""
+    full = _solver(gamma=2)
+    capped = _solver(gamma=2, gamma_min_n=17)
+    _, norms_f, _ = full.solve(rel_tol=1e-8)
+    _, norms_c, init_c = capped.solve(rel_tol=1e-8)
+    assert len(norms_f) <= len(norms_c) <= len(norms_f) + 2
+    assert norms_c[-1] <= 1e-8 * init_c
+
+    run_fold = mp.make_mixed_fold_df_solver(
+        capped, rel_tol=1e-8, inner_cycles=1, jnp_level_max=9, block_i=4
+    )
+    st_f = mp.setup_mixed_fold_df_problem(capped)
+    _, _, _, it_f = run_fold(*st_f)
+    _, _, it_ref, _ = capped.solve_on_device(
+        rel_tol=1e-8, max_cycles=60, inner_cycles=1
+    )
+    assert int(it_f) == it_ref
