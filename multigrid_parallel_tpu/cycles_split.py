@@ -40,7 +40,7 @@ from multigrid_parallel_tpu.ops import pallas_split as ps
 
 
 def split_plan(n: int, sj: int, skh: int, n_smooth: int,
-               smooth_block_i: int = 24, ps_block_i: int = 16) -> dict:
+               smooth_block_i: int = 32, ps_block_i: int = 24) -> dict:
     """Per-kernel block_i choices for the split tier at level n; any 0
     means that kernel does not fit VMEM and the tier is unavailable."""
     return dict(
@@ -75,8 +75,8 @@ def make_split_df_solver(
     jnp_level_max: int = cp._JNP_LEVEL_MAX,
     block_i: int = 16,
     init_norm: float = None,
-    smooth_block_i: int = 24,
-    ps_block_i: int = 16,
+    smooth_block_i: int = 32,
+    ps_block_i: int = 24,
     force: bool = False,
 ):
     """run(u_hr, u_hb, u_lr, u_lb, f_hr, f_hb, f_lr, f_lb) ->
