@@ -295,7 +295,11 @@ def electrospray_fold_rows():
 
     prob = electrospray_problem()
     hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=7, length=prob.length)
-    s = MixedBCSolver(prob, hier, n_smooth=2, gamma=2)
+    # gamma_min_n = finest/4: the convergence-lossless W-cycle depth cap
+    # (docs/MIXED_BC.md §4 — caps 33/65/129 measured 0.137/0.119/0.131 s,
+    # 129 loses convergence).
+    s = MixedBCSolver(prob, hier, n_smooth=2, gamma=2,
+                      gamma_min_n=(hier.finest_n - 1) // 4 + 1)
     rows = []
     for name, make, setup in (
         ("electrospray 257³ fold tier (W-cycle)",
