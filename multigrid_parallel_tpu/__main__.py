@@ -64,7 +64,9 @@ def main(argv=None):
                         "sub-levels of size >= N (0 = full W-cycle; "
                         "the deep revisits are launch-latency-bound "
                         "and contribute nothing past ~finest/4 — "
-                        "docs/MIXED_BC.md)")
+                        "docs/MIXED_BC.md). Applies to both the "
+                        "Dirichlet (CycleConfig) and --electrospray "
+                        "paths; a no-op unless --gamma > 1")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -189,7 +191,7 @@ def main(argv=None):
             dtype=jnp.float32 if args.f32 else jnp.float64,
         )
         cfg = CycleConfig(n_smooth=args.gs_iter, smoother=args.smoother,
-                          gamma=args.gamma)
+                          gamma=args.gamma, gamma_min_n=args.gamma_min)
         solver_fn = solve_mixed if args.mixed else solve
         res = solver_fn(
             problem, hier, cfg, rel_tol=args.tol, max_cycles=args.max_cycles,

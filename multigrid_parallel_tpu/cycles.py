@@ -49,6 +49,11 @@ class CycleConfig:
       sharded.py via _recurse_sharded, parallel/sharded_padded.py).
       MixedBCSolver takes its own gamma field directly (plus the
       boundary-band options) rather than a CycleConfig.
+    gamma_min_n: W-cycle depth cap — gamma revisits apply only to
+      sub-levels of size >= gamma_min_n (0 = full W-cycle). The deep
+      revisits are launch-latency-bound on TPU and contribute nothing
+      past ~finest/4 (docs/MIXED_BC.md §4 measures the electrospray
+      analog); honored by the same cycles MixedBCSolver.gamma_min_n is.
     """
 
     n_smooth: int = 2
@@ -56,6 +61,7 @@ class CycleConfig:
     omega: float = 2.0 / 3.0
     coarse_method: str = "lu"
     gamma: int = 1
+    gamma_min_n: int = 0
 
 
 def _ops(ndim: int):
@@ -110,7 +116,9 @@ def _descend(
     # gamma > 1 revisits the coarse correction (W-cycle), re-entering
     # from the previous ec.
     ec = jnp.zeros((hier.sizes[level - 1],) * hier.ndim, dtype=u.dtype)
-    n_rec = cfg.gamma if level - 1 > 0 else 1
+    n_rec = cfg.gamma if (
+        level - 1 > 0 and hier.sizes[level - 1] >= cfg.gamma_min_n
+    ) else 1
     for _ in range(n_rec):
         ec = _descend(
             ops, hier, cfg, coarse_solve, ec, fc, level - 1, correction=True

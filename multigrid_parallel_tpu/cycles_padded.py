@@ -204,9 +204,10 @@ def _make_descend(
 
     def _recurse(descend, rc, level):
         # gamma visits of the coarse level (W-cycle); the coarsest level
-        # is always visited once (a direct solve is exact).
+        # is always visited once (a direct solve is exact), and the
+        # gamma_min_n depth cap skips revisits of sub-levels below it.
         ec = descend(None, rc, level, from_zero=True)
-        if level > 0:
+        if level > 0 and hier32.sizes[level] >= cfg.gamma_min_n:
             for _ in range(cfg.gamma - 1):
                 ec = descend(ec, rc, level)
         return ec

@@ -164,9 +164,11 @@ def make_split_df_solver(
         rc = ps.residual_restrict_split(er, eb, rr_, rb_, h, n,
                                         block_i=plan["rr"])
         # gamma visits of the (rect) coarse sub-tree, as cycles_padded
+        # (sub-tree revisits below honor cfg.gamma_min_n via _recurse)
         ec = sub_cycle(None, rc, from_zero=True)
-        for _ in range(cfg.gamma - 1):
-            ec = sub_cycle(ec, rc)
+        if (n + 1) // 2 >= cfg.gamma_min_n:
+            for _ in range(cfg.gamma - 1):
+                ec = sub_cycle(ec, rc)
         if ps_split:
             er, eb = ps.prolong_smooth_split(ec, er, eb, rr_, rb_, h, 1,
                                              n, block_i=plan1["ps"])

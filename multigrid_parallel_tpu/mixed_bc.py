@@ -106,9 +106,10 @@ class MixedBCSolver:
     boundary_band_width: int = 0
     boundary_band_iters: int = 0
     # W-cycle depth cap: gamma revisits apply only to sub-levels of size
-    # >= gamma_min_n. At gamma=2 the visit count doubles per depth (64
-    # coarsest-level visits at 257^3), and the sub-33^3 visits are
-    # launch-latency-bound on TPU, not compute-bound; the copy-BC
+    # >= gamma_min_n. At gamma=2 the visit count doubles per depth down
+    # to level 1 (level 0 itself is never revisited — the `lvl - 1 > 0`
+    # guard): 8+16+32+32 = 88 visits to the <=33^3 levels per W-cycle at
+    # 257^3, each launch-latency-bound on TPU, not compute-bound; the copy-BC
     # boundary-layer mode the W-cycle fights is attacked by the FINE
     # levels' revisits. 0 = full W-cycle (unchanged default).
     gamma_min_n: int = 0

@@ -291,7 +291,7 @@ def _recurse_sharded(fc, hier, cfg, plan, coarse_solve, level, depth):
     """gamma visits of the coarse correction (W-cycle when gamma > 1);
     the coarsest level is always visited once (direct solve is exact)."""
     ec = _sharded_correction(fc, hier, cfg, plan, coarse_solve, level, depth)
-    if level > 0:
+    if level > 0 and hier.sizes[level] >= cfg.gamma_min_n:
         for _ in range(cfg.gamma - 1):
             ec = _sharded_correction(
                 fc, hier, cfg, plan, coarse_solve, level, depth, e_init=ec

@@ -285,7 +285,7 @@ def _correction2d(f_local, hier, cfg, plan, coarse_solve, level, depth,
 def _recurse2d(fc, hier, cfg, plan, coarse_solve, level, depth):
     """gamma visits of the coarse correction (W-cycle when gamma > 1)."""
     ec = _correction2d(fc, hier, cfg, plan, coarse_solve, level, depth)
-    if level > 0:
+    if level > 0 and hier.sizes[level] >= cfg.gamma_min_n:
         for _ in range(cfg.gamma - 1):
             ec = _correction2d(
                 fc, hier, cfg, plan, coarse_solve, level, depth, e_init=ec

@@ -460,7 +460,7 @@ def _build_local_cycle2d(
                 )
                 rc = slice_j(rc_rep, plan.local_j(depth + 1))
                 ec = descend(None, rc, level - 1, depth + 1, from_zero=True)
-                if level - 1 > 0:
+                if level - 1 > 0 and nc >= cfg.gamma_min_n:
                     for _ in range(cfg.gamma - 1):
                         ec = descend(ec, rc, level - 1, depth + 1)
                 hc = H // 2 + 1
@@ -563,7 +563,7 @@ def _build_local_cycle2d(
             rc = restrict_local2dp(res, n, plan, depth)
 
         ec = descend(None, rc, level - 1, depth + 1, from_zero=True)
-        if level - 1 > 0:
+        if level - 1 > 0 and nc >= cfg.gamma_min_n:
             for _ in range(cfg.gamma - 1):  # W-cycle revisits
                 ec = descend(ec, rc, level - 1, depth + 1)
 

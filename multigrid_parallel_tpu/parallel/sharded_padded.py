@@ -387,7 +387,7 @@ def _build_local_cycle(
             rc = restrict_local_padded(res, n, axis, n_dev)
 
         ec = descend(None, rc, level - 1, depth + 1, from_zero=True)
-        if level - 1 > 0:
+        if level - 1 > 0 and nc >= cfg.gamma_min_n:
             # gamma > 1 revisits the coarse correction (W-cycle), exactly
             # as cycles._descend / cycles_padded._make_descend do. The
             # replicated sub-cycle honors gamma internally.

@@ -148,3 +148,28 @@ def test_w_cycle_converges_faster_per_cycle():
     assert v.converged and w.converged
     assert w.n_cycles <= v.n_cycles
     assert w.error_norm < 1e-8
+
+
+def test_w_cycle_depth_cap_semantics():
+    """gamma_min_n (W-cycle depth cap) semantics on the reference-shaped
+    cycle: a cap above the finest level disables every revisit (the
+    capped W-cycle IS the V-cycle, identical residual trajectory), and a
+    mid-hierarchy cap (17 at 33^3: only the 9-level revisit skipped)
+    still converges at W-cycle-like rate."""
+    import multigrid_parallel_tpu as mg
+
+    hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=4)  # 33^3
+    prob = mg.poisson_3d_quadratic()
+    v = mg.solve(prob, hier, mg.CycleConfig(n_smooth=2, gamma=1),
+                 rel_tol=1e-8)
+    w_off = mg.solve(prob, hier,
+                     mg.CycleConfig(n_smooth=2, gamma=2, gamma_min_n=999),
+                     rel_tol=1e-8)
+    assert w_off.n_cycles == v.n_cycles
+    assert w_off.residual_norms == v.residual_norms  # bitwise: same unroll
+
+    w_cap = mg.solve(prob, hier,
+                     mg.CycleConfig(n_smooth=2, gamma=2, gamma_min_n=17),
+                     rel_tol=1e-8)
+    assert w_cap.converged and w_cap.n_cycles <= v.n_cycles
+    assert w_cap.error_norm < 1e-8

@@ -41,13 +41,14 @@ def test_prolong_padded_matches_unpadded():
     np.testing.assert_allclose(np.asarray(pk.unpad3(got_p, nf)), want, rtol=0, atol=1e-13)
 
 
-@pytest.mark.parametrize("gamma", [1, 2])
-def test_padded_correction_cycle_matches_jnp_cycle(gamma):
+@pytest.mark.parametrize("gamma,gamma_min_n", [(1, 0), (2, 0), (2, 17)])
+def test_padded_correction_cycle_matches_jnp_cycle(gamma, gamma_min_n):
     # gamma=2 pins the W-cycle plumbing of cycles_padded._make_descend
     # against the reference-shaped recursion (cycles._descend, which
-    # honors gamma at every level).
+    # honors gamma at every level); gamma_min_n=17 pins the depth cap
+    # the same way (at 17^3 it skips the 9-level revisit on BOTH sides).
     hier32 = Hierarchy(ndim=3, coarse_n=5, num_levels=3, dtype=jnp.float32)
-    cfg = CycleConfig(n_smooth=2, gamma=gamma)
+    cfg = CycleConfig(n_smooth=2, gamma=gamma, gamma_min_n=gamma_min_n)
     n = hier32.finest_n
     rng = np.random.default_rng(7)
     r = np.zeros((n, n, n), np.float32)

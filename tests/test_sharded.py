@@ -36,12 +36,14 @@ def test_plan_sharding_alignment():
     assert plan.n_sharded <= hier.num_levels - 1
 
 
-@pytest.mark.parametrize("gamma", [1, 2])
-def test_sharded_cycle_matches_single_device(mesh, gamma):
+@pytest.mark.parametrize("gamma,gamma_min_n", [(1, 0), (2, 0), (2, 17)])
+def test_sharded_cycle_matches_single_device(mesh, gamma, gamma_min_n):
     # gamma=2 pins the W-cycle plumbing through _recurse_sharded (both
-    # the sharded revisits and the gather-level e_init handoff).
+    # the sharded revisits and the gather-level e_init handoff);
+    # gamma_min_n=17 pins the depth cap (skips only the 9-level revisit)
+    # against the identically-capped single-device recursion.
     hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4)  # 33^3
-    cfg = CycleConfig(n_smooth=2, gamma=gamma)
+    cfg = CycleConfig(n_smooth=2, gamma=gamma, gamma_min_n=gamma_min_n)
     prob = poisson_3d_quadratic()
 
     cycle_1 = make_cycle_fn(hier, cfg)

@@ -151,11 +151,13 @@ def test_sharded2d_df_solver_matches_1d_residual(mesh):
     assert float(norm2) == pytest.approx(float(norm1), rel=1e-3)
 
 
-def test_sharded2d_gamma_wcycle_matches_single_device(mesh):
+@pytest.mark.parametrize("gamma_min_n", [0, 17])
+def test_sharded2d_gamma_wcycle_matches_single_device(mesh, gamma_min_n):
     """W-cycle (gamma=2) through the 2D recursion equals the
-    single-device W-cycle."""
+    single-device W-cycle; gamma_min_n=17 pins the depth cap (skips
+    the 9-level revisit) against the identically-capped host cycle."""
     hier = Hierarchy(ndim=3, coarse_n=5, num_levels=3)  # 17^3
-    cfg = CycleConfig(n_smooth=2, gamma=2)
+    cfg = CycleConfig(n_smooth=2, gamma=2, gamma_min_n=gamma_min_n)
     prob = poisson_3d_quadratic()
 
     cycle_1 = make_cycle_fn(hier, cfg)

@@ -63,10 +63,12 @@ def test_plan_padded_alignment():
     assert plan.padded_j(0) >= pk.padded_shape(hier.finest_n)[1]
 
 
-@pytest.mark.parametrize("gamma", [1, 2])
-def test_sharded2d_padded_cycle_matches_single_chip(mesh, gamma):
+@pytest.mark.parametrize("gamma,gamma_min_n", [(1, 0), (2, 0), (2, 17)])
+def test_sharded2d_padded_cycle_matches_single_chip(mesh, gamma, gamma_min_n):
+    # gamma_min_n=17 pins the W-cycle depth cap (skips only the 9-level
+    # revisit) against the identically-capped single-chip padded cycle.
     hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4, dtype=jnp.float32)
-    cfg = CycleConfig(n_smooth=2, gamma=gamma)
+    cfg = CycleConfig(n_smooth=2, gamma=gamma, gamma_min_n=gamma_min_n)
     r = _rand(21)
     plan = _plan(hier)
     cyc_sh, _ = s2p.make_sharded2d_padded_cycle(

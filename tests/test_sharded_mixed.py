@@ -19,11 +19,15 @@ def mesh():
     return make_mesh(8)
 
 
-@pytest.mark.parametrize("gamma", [1, 2])
-def test_sharded_mixed_cycle_matches_single_device(mesh, gamma):
+@pytest.mark.parametrize("gamma,gamma_min_n", [(1, 0), (2, 0), (2, 17)])
+def test_sharded_mixed_cycle_matches_single_device(mesh, gamma, gamma_min_n):
+    # gamma_min_n=17 pins the W-cycle depth cap through the sharded
+    # mixed recursion (skips only the 9-level revisit) against the
+    # identically-capped host cycle.
     prob = electrospray_problem()
     hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4, length=prob.length)
-    s = MixedBCSolver(prob, hier, n_smooth=2, gamma=gamma)
+    s = MixedBCSolver(prob, hier, n_smooth=2, gamma=gamma,
+                      gamma_min_n=gamma_min_n)
 
     cycle_n, plan = sm.make_sharded_mixed_bc_cycle(s, mesh)
     un, fn = sm.setup_mixed_problem_sharded(s, mesh, plan)

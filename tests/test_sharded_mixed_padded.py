@@ -31,14 +31,19 @@ def _solve_single(s, rel_tol, inner_cycles, jnp_level_max, block_i):
     return mp.unpack_mixed_solution(u_hi, u_lo, s.hier), float(norm), int(n_outer)
 
 
-@pytest.mark.parametrize("jlm,block_i", [(9, 4), (33, 4)])
-def test_sharded_mixed_padded_matches_single_chip(mesh, jlm, block_i):
+@pytest.mark.parametrize("jlm,block_i,gamma_min_n",
+                         [(9, 4, 0), (33, 4, 0), (9, 4, 17)])
+def test_sharded_mixed_padded_matches_single_chip(mesh, jlm, block_i,
+                                                  gamma_min_n):
     """jlm=9 forces the mixed ext Pallas kernels at the sharded level;
     jlm=33 exercises the jnp fallback local path (apply_bcs_local_padded
-    + masked-roll smoother)."""
+    + masked-roll smoother); gamma_min_n=17 pins the W-cycle depth cap
+    through the sharded mixed padded recursion against the
+    identically-capped single-chip tier."""
     prob = electrospray_problem()
     hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4, length=prob.length)
-    s = MixedBCSolver(prob, hier, n_smooth=2, gamma=2)
+    s = MixedBCSolver(prob, hier, n_smooth=2, gamma=2,
+                      gamma_min_n=gamma_min_n)
 
     u1, norm1, outer1 = _solve_single(s, 1e-6, 2, jlm, block_i)
 

@@ -191,12 +191,19 @@ def test_residual_df_norm_ext_matches_f64(mesh):
     assert float(nrm2) == pytest.approx(want_n2, rel=1e-5)
 
 
-@pytest.mark.parametrize("n_sharded,gamma", [(1, 1), (2, 1), (2, 2)])
-def test_sharded_cycle_matches_single_chip_padded_cycle(mesh, n_sharded, gamma):
+@pytest.mark.parametrize(
+    "n_sharded,gamma,gamma_min_n",
+    [(1, 1, 0), (2, 1, 0), (2, 2, 0), (2, 2, 17)],
+)
+def test_sharded_cycle_matches_single_chip_padded_cycle(
+    mesh, n_sharded, gamma, gamma_min_n
+):
     # gamma=2 with n_sharded=2 exercises the W-cycle revisit through BOTH
-    # a sharded re-entry and the gather-level e_init handoff.
+    # a sharded re-entry and the gather-level e_init handoff;
+    # gamma_min_n=17 pins the depth cap (skips only the 9-level revisit)
+    # against the identically-capped single-chip padded cycle.
     hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4, dtype=jnp.float32)
-    cfg = CycleConfig(n_smooth=2, gamma=gamma)
+    cfg = CycleConfig(n_smooth=2, gamma=gamma, gamma_min_n=gamma_min_n)
     r = _rand(12, zero_boundary=True)
     plan = ShardPlan(n_dev=NDEV, axis="x", n_sharded=n_sharded, fine_local=L)
     cyc_sh, _ = sp.make_sharded_padded_cycle(

@@ -227,10 +227,14 @@ def test_split_solver_matches_trim_solver():
     assert err < 5e-8, err
 
 
-def test_split_solver_gamma_wcycle():
-    """gamma=2 exercises the sub-cycle revisit plumbing."""
+@pytest.mark.parametrize("gamma_min_n", [0, 17])
+def test_split_solver_gamma_wcycle(gamma_min_n):
+    """gamma=2 exercises the sub-cycle revisit plumbing; gamma_min_n=17
+    additionally exercises the depth cap through the split top level
+    ((n+1)//2 = 17 keeps the top revisit, the rect sub-tree drops the
+    sub-17 ones)."""
     hier = Hierarchy(ndim=3, coarse_n=5, num_levels=4, dtype=jnp.float64)
-    cfg = CycleConfig(n_smooth=2, gamma=2)
+    cfg = CycleConfig(n_smooth=2, gamma=2, gamma_min_n=gamma_min_n)
     problem = poisson_3d_quadratic()
     init = cp.ref_init_norm(problem, hier)
     split = cs.make_split_df_solver(
