@@ -300,8 +300,22 @@ def _make_mixed_descend_fold(
         bi_rr = pmf.rr_fold_block_i(n, sj, skf)
         bi_p = pmf.mixed_fold_prolong_block_i(n, sj, skf, n_smooth,
                                               requested=block_i)
+        # Split ladder (cycles_padded._make_descend / cycles_split):
+        # when the full n_smooth fusion window only fits a tiny block
+        # (the 513^3 fold level: smooth=2, ps does not fit at all), run
+        # single-iteration passes at the bigger block the halved window
+        # allows — identical half-sweep sequence (the folded BC pass is
+        # per half-sweep, so it splits losslessly too).
+        bi_s1 = pmf.mixed_fold_block_i(n, sj, skf, 1, requested=block_i) \
+            if n_smooth > 1 else 0
+        bi_p1 = pmf.mixed_fold_prolong_block_i(n, sj, skf, 1,
+                                               requested=block_i) \
+            if n_smooth > 1 else 0
+        sm_split = bi_s < 8 and bi_s1 > bi_s and bi_s1 >= 4
+        ps_split = bi_p < 8 and bi_p1 > bi_p and bi_p1 >= 4
         use_fold = (level > 0 and n > jnp_level_max
-                    and bi_s and bi_rr and bi_p)
+                    and (bi_s or sm_split) and bi_rr
+                    and (bi_p or ps_split))
         if not use_fold:
             # delegate the whole subtree to the full-layout descend
             r_full = pmf.fold_to_full_rhs(r, n)
@@ -310,7 +324,15 @@ def _make_mixed_descend_fold(
             return pmf.full_to_fold(out, n)
         h = hier32.spacing(level)
         pin = pins_f[level]
-        if from_zero:
+        if sm_split:
+            for it in range(n_smooth):
+                if from_zero and it == 0:
+                    e = pmf.mixed_rb_smooth_from_zero_fold(
+                        r, pin, h, 1, n, red_first=True, block_i=bi_s1)
+                else:
+                    e = pmf.mixed_rb_smooth_fold(
+                        e, r, pin, h, 1, n, red_first=True, block_i=bi_s1)
+        elif from_zero:
             e = pmf.mixed_rb_smooth_from_zero_fold(
                 r, pin, h, n_smooth, n, red_first=True, block_i=bi_s)
         else:
@@ -322,9 +344,21 @@ def _make_mixed_descend_fold(
             for _ in range(gamma - 1):  # W-cycle revisits (depth-capped)
                 ec = descend(ec, rc, level - 1)
         sgn_c, has_delta = sgns_f[level - 1]
-        return pmf.mixed_prolong_smooth_fold(ec, e, r, pin, sgn_c, h,
-                                             n_smooth, n, block_i=bi_p,
-                                             with_delta=has_delta)
+        if not ps_split:
+            return pmf.mixed_prolong_smooth_fold(ec, e, r, pin, sgn_c, h,
+                                                 n_smooth, n, block_i=bi_p,
+                                                 with_delta=has_delta)
+        # ps ladder: interpolate+correct+ONE black-first iteration, then
+        # n_smooth-1 single-iteration passes (ps_split implies
+        # n_smooth > 1, so bi_s1 is live here).
+        e = pmf.mixed_prolong_smooth_fold(ec, e, r, pin, sgn_c, h, 1, n,
+                                          block_i=bi_p1,
+                                          with_delta=has_delta)
+        for _ in range(n_smooth - 1):
+            e = pmf.mixed_rb_smooth_fold(
+                e, r, pin, h, 1, n, red_first=False,
+                block_i=bi_s1 if sm_split else bi_s)
+        return e
 
     return descend
 

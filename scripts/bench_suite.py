@@ -208,20 +208,35 @@ def kernel_rows():
         )
     from multigrid_parallel_tpu.ops import pallas_split as psp
     if psp.split_supported(n):
+        # The split stage takes 4 device buffers per call; Python-chained
+        # dispatches through the axon tunnel serialize on the per-dispatch
+        # host cost and inflate it ~4x (round-4 1.71 ms artifact), so this
+        # row uses the jit-fused chain-slope method (CLAUDE.md) instead.
         _, sjs, skh = psp.split_shape(n)
-        bi_s = psp.split_smooth_block_i(n, sjs, skh, 2, requested=24)
+        bi_s = psp.split_smooth_block_i(n, sjs, skh, 2, requested=32)
         ur = jnp.zeros((n, sjs, skh), jnp.float32)
         ub = jnp.zeros((n, sjs, skh), jnp.float32)
         fr = jnp.ones((n, sjs, skh), jnp.float32)
         fb = jnp.ones((n, sjs, skh), jnp.float32)
-        sp = jax.jit(lambda ur, ub, fr, fb: psp.rb_smooth_split(
-            ur, ub, fr, fb, h, 2, n, red_first=True, block_i=bi_s)[0])
-        x = sp(ur, ub, fr, fb); float(jnp.sum(x))
-        t0 = time.perf_counter()
-        for _ in range(20):
-            x = sp(x, ub, fr, fb)
-        float(jnp.sum(x))
-        dt = (time.perf_counter() - t0 - lat) / 20
+        scale = jnp.float32(1.0 - 1e-6)  # keep chained iterates bounded
+
+        def chain(c):
+            @jax.jit
+            def f(a, b, fr, fb):
+                for _ in range(c):
+                    a, b = psp.rb_smooth_split(a, b, fr, fb, h, 2, n,
+                                               red_first=True, block_i=bi_s)
+                    a = a * scale
+                return jnp.sum(a) + jnp.sum(b)
+            float(f(ur, ub, fr, fb))
+            ts = []
+            for _ in range(6):
+                t0 = time.perf_counter()
+                float(f(ur, ub, fr, fb))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        dt = (chain(8) - chain(2)) / 6
         vol_s = 6 * ur.size * 4 / 1e9  # 2 colors x (u in, f in, u out)
         rows.append(
             f"| split-color RB-GS stage (4 half-sweeps, bi={bi_s}) | "
