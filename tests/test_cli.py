@@ -63,3 +63,14 @@ def test_cli_vtk_output(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert out.exists()
     assert out.read_text().startswith("# vtk DataFile")
+
+
+def test_cli_electrospray_fold_depth_cap():
+    # The round-4 production electrospray flags end-to-end through
+    # argparse: k-FOLD fused tier + W-cycle with the gamma_min_n depth
+    # cap (docs/MIXED_BC.md §4-§5). 33^3 so the CPU interpret-mode
+    # kernels stay cheap; the cap (>=17) skips only the 9-level revisit.
+    r = _run("5", "4", "2", "--quiet", "--tol", "1e-6", "--electrospray",
+             "--fold", "--gamma", "2", "--gamma-min", "17")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "cycles:" in r.stdout
