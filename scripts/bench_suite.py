@@ -218,7 +218,10 @@ def kernel_rows():
         ub = jnp.zeros((n, sjs, skh), jnp.float32)
         fr = jnp.ones((n, sjs, skh), jnp.float32)
         fb = jnp.ones((n, sjs, skh), jnp.float32)
-        scale = jnp.float32(1.0 - 1e-6)  # keep chained iterates bounded
+        # No per-link rescale: the iterate evolves through the kernel
+        # (no CSE risk, RB-GS is a contraction so no overflow) and an
+        # unfused elementwise pass would add ~70 MB of HBM traffic per
+        # link that the vol_s accounting below excludes.
 
         def chain(c):
             @jax.jit
@@ -226,7 +229,6 @@ def kernel_rows():
                 for _ in range(c):
                     a, b = psp.rb_smooth_split(a, b, fr, fb, h, 2, n,
                                                red_first=True, block_i=bi_s)
-                    a = a * scale
                 return jnp.sum(a) + jnp.sum(b)
             float(f(ur, ub, fr, fb))
             ts = []

@@ -48,12 +48,17 @@ def main():
 
     run = mp.make_mixed_fold_df_solver(s, rel_tol=1e-8, inner_cycles=1)
 
-    # ||r0|| anchor: one run with max_cycles=0 exits the while_loop
-    # immediately and returns the initial norm.
-    probe = mp.make_mixed_fold_df_solver(s, rel_tol=1e-8, inner_cycles=1,
-                                         max_cycles=0)
+    # ||r0|| anchor: one residual+norm kernel on the setup state — NOT a
+    # second whole-solve jit (a max_cycles=0 solver can't share run's
+    # executable and would pay a full second 30-150 s tunnel compile).
+    from multigrid_parallel_tpu.ops import pallas_mixed_fold as pmf
     st = mp.setup_mixed_fold_df_problem(s)
-    n0 = float(probe(*st)[2])
+    h = hier.spacing(hier.num_levels - 1)
+    _, sj, skf = pmf.fold_shape(n)
+    bi_r = pmf.fold_residual_block_i(n, sj, skf, requested=8)
+    n0_fn = jax.jit(lambda a, b, c, d: jnp.sqrt(
+        pmf.residual_df_norm_fold(a, b, c, d, h, n, block_i=bi_r)[1]))
+    n0 = float(n0_fn(*st))
     print(f"||r0|| = {n0:.4e}", flush=True)
 
     t0 = time.perf_counter()

@@ -70,6 +70,12 @@ def main():
     e = jnp.asarray(rng.standard_normal((n, sj, skf)).astype(np.float32))
     r = jnp.asarray(rng.standard_normal((n, sj, skf)).astype(np.float32))
     pin = pmf.fold_pin_planes(prob, n, sj, skf)
+    # Only chain_rr rescales its iterate between links: its kernel
+    # output (rc) is NOT fed back, so identical links would be CSE'd.
+    # The smoother/prolong chains evolve their iterate through the
+    # kernel itself — a per-link multiply there would be an extra
+    # unfused ~70 MB HBM pass inside the measured slope, biasing the
+    # stage times this script exists to compare against DMA floors.
     scale = jnp.float32(1.0 - 1e-6)
     gb = e.size * 4 / 1e9
 
@@ -82,7 +88,6 @@ def main():
             for _ in range(c):
                 a = pmf.mixed_rb_smooth_fold(a, r, pin, h, 2, n,
                                              red_first=True, block_i=bi_s)
-                a = a * scale
             return a
         return f
 
@@ -101,7 +106,6 @@ def main():
             for _ in range(c):
                 a = pk.rb_smooth_fused_pipelined(a, rt, h, 2, n,
                                                  red_first=True, block_i=32)
-                a = a * scale
             return a
         return f
 
@@ -130,6 +134,11 @@ def main():
     _, sjc, skc = pmf.fold_shape(nc)
     ec = jnp.asarray(rng.standard_normal((nc, sjc, skc)).astype(np.float32))
     sgn = pmf.fold_edge_sign_planes(prob, nc, sjc, skc)  # coarse level
+    # Mirror production: _make_mixed_descend_fold statically skips the
+    # delta matmuls when the sign planes are all zero (every fine
+    # electrospray level — mixed_padded.py sgns_f), so the measured
+    # stage must skip them too or it overstates the mixed/trim gap.
+    has_delta = bool(np.any(np.asarray(sgn)))
     bi_ps = pmf.mixed_fold_prolong_block_i(n, sj, skf, 2, requested=24)
 
     def chain_ps(c):
@@ -137,13 +146,13 @@ def main():
             a = e
             for _ in range(c):
                 a = pmf.mixed_prolong_smooth_fold(ec, a, r, pin, sgn, h, 2,
-                                                  n, block_i=bi_ps)
-                a = a * scale
+                                                  n, block_i=bi_ps,
+                                                  with_delta=has_delta)
             return a
         return f
 
-    print(f"  mixed fold prolong+smooth bi={bi_ps}: "
-          f"{slope(chain_ps):7.3f} ms", flush=True)
+    print(f"  mixed fold prolong+smooth bi={bi_ps} "
+          f"(with_delta={has_delta}): {slope(chain_ps):7.3f} ms", flush=True)
 
     # --- identity-body DMA floor proxy: from-zero smoother (2-in/1-out)
     def chain_fz(c):
@@ -152,7 +161,6 @@ def main():
             for _ in range(c):
                 a = pmf.mixed_rb_smooth_from_zero_fold(
                     a, pin, h, 2, n, red_first=True, block_i=bi_s)
-                a = a * scale
             return a
         return f
 
