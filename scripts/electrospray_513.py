@@ -56,6 +56,11 @@ def main():
     h = hier.spacing(hier.num_levels - 1)
     _, sj, skf = pmf.fold_shape(n)
     bi_r = pmf.fold_residual_block_i(n, sj, skf, requested=8)
+    if not bi_r:
+        raise SystemExit(
+            f"no fold residual block fits VMEM at n={n} (fold planes too "
+            f"large or grid too small for the fold layout) — use the "
+            f"mixed_padded full-layout driver instead of this script")
     n0_fn = jax.jit(lambda a, b, c, d: jnp.sqrt(
         pmf.residual_df_norm_fold(a, b, c, d, h, n, block_i=bi_r)[1]))
     n0 = float(n0_fn(*st))

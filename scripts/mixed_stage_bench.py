@@ -122,12 +122,18 @@ def main():
             for _ in range(c):
                 rc = pmf.residual_restrict_fold(a, r, h, n, block_i=bi_rr)
                 acc = acc + rc[1, 1, 1]
-                a = a * scale
+                a = a * scale  # rc isn't fed back, so CSE needs a fresh a
             return acc
         return f
 
+    # The per-link `a * scale` is an extra elementwise read+write pass the
+    # other stages don't carry — quote its cost so cross-stage comparisons
+    # can subtract it (ADVICE r4: this row is inflated by exactly one pass).
+    infl_ms = 2 * e.size * 4 / 600e9 * 1e3
     print(f"  mixed fold resid+restrict bi={bi_rr}: "
-          f"{slope(chain_rr):7.3f} ms", flush=True)
+          f"{slope(chain_rr):7.3f} ms "
+          f"(incl ~{infl_ms:.2f} ms CSE-breaker elementwise pass)",
+          flush=True)
 
     # --- mixed prolong+correct+post-smooth
     nc = (n + 1) // 2
