@@ -55,6 +55,12 @@ def main(argv=None):
                    help="electrospray boundary-band relaxation (the "
                         "docs/MIXED_BC.md convergence fix, e.g. "
                         "--band 2 2; combine with --gamma 2)")
+    p.add_argument("--split", action="store_true",
+                   help="electrospray SPLIT-COLOR fused tier (round 5): "
+                        "the finest level in red/black k-compressed "
+                        "pairs over the k-FOLD sub-hierarchy — half the "
+                        "finest smoother compute (with --electrospray "
+                        "--gamma 2; needs n >= 257 to compress)")
     p.add_argument("--fold", action="store_true",
                    help="electrospray k-FOLD fused performance tier "
                         "(fastest mixed-BC path; use with "
@@ -126,7 +132,21 @@ def main(argv=None):
                            boundary_band_iters=bi,
                            gamma_min_n=args.gamma_min)
         t0 = time.perf_counter()
-        if args.fold:
+        if args.split:
+            # SPLIT-COLOR fused tier (round 5): the finest level in
+            # red/black k-compressed pairs (half the smoother compute)
+            # over the k-FOLD sub-hierarchy
+            from multigrid_parallel_tpu import mixed_padded as _mp
+
+            run = _mp.make_mixed_split_df_solver(
+                ms, rel_tol=args.tol, max_cycles=args.max_cycles,
+                inner_cycles=1,
+            )
+            st = _mp.setup_mixed_split_df_problem(ms)
+            hr, hb, lr, lb, _norm, it = run(*st)
+            u = _mp.unpack_mixed_split_solution(hr, hb, lr, lb, ms)
+            n_cycles_out = int(it)
+        elif args.fold:
             # k-FOLD fused Pallas tier (round 4): the fastest mixed-BC
             # path — 2/3 of the fine-level lanes (docs/MIXED_BC.md §3)
             from multigrid_parallel_tpu import mixed_padded as _mp

@@ -469,6 +469,230 @@ def make_mixed_fold_df_solver(
     return run
 
 
+# --------------------------------------- SPLIT-COLOR tier (round 5)
+# The mixed twin of cycles_split: the FINEST level runs in red/black
+# k-compressed pairs (ops.pallas_mixed_split — each half-sweep computes
+# only the active color, halving the most compute-bound stage in the
+# repo), the fused rr/ps kernels emit/consume the coarse k-FOLD layout,
+# and every coarser level stays on the fold descend above.
+
+from multigrid_parallel_tpu.ops import pallas_mixed_split as pms  # noqa: E402
+from multigrid_parallel_tpu.ops import pallas_split as psp  # noqa: E402
+
+
+def mixed_split_plan(n, sj, skh, n_smooth, smooth_block_i=24,
+                     ps_block_i=16):
+    """Per-kernel block_i choices for the mixed split tier at level n;
+    any 0 means that kernel does not fit VMEM at that window."""
+    return dict(
+        smooth=pms.msplit_smooth_block_i(n, sj, skh, n_smooth,
+                                         requested=smooth_block_i),
+        from_zero=pms.msplit_from_zero_block_i(n, sj, skh, n_smooth,
+                                               requested=smooth_block_i),
+        rr=pms.msplit_rr_block_i(n, sj, skh),
+        ps=pms.msplit_ps_block_i(n, sj, skh, n_smooth,
+                                 requested=ps_block_i),
+        resid=pms.msplit_residual_block_i(n, sj, skh),
+    )
+
+
+def mixed_split_available(solver: MixedBCSolver) -> bool:
+    """True when the finest level supports the mixed split tier
+    (compression halves the lanes AND every stage fits VMEM, counting
+    the single-iteration split-ladder windows)."""
+    n = solver.hier.finest_n
+    if not psp.split_supported(n) or not pms.msplit_widths_ok(n):
+        return False
+    ns = solver.n_smooth
+    _, sj, skh = psp.split_shape(n)
+    plan = mixed_split_plan(n, sj, skh, ns)
+    plan1 = mixed_split_plan(n, sj, skh, 1) if ns > 1 else None
+    sm_ok = plan["smooth"] or (plan1 and plan1["smooth"])
+    ps_ok = plan["ps"] or (plan1 and plan1["ps"])
+    return bool(sm_ok and ps_ok and plan["rr"] and plan["resid"])
+
+
+def make_mixed_split_df_solver(
+    solver: MixedBCSolver,
+    rel_tol: float = 1e-8,
+    max_cycles: int = 100,
+    inner_cycles: int = 2,
+    jnp_level_max: int = cp._JNP_LEVEL_MAX,
+    block_i: int = 8,
+    smooth_block_i: int = 24,
+    ps_block_i: int = 16,
+    force: bool = False,
+):
+    """The split-color twin of make_mixed_fold_df_solver: same solve,
+    half the finest-level smoother compute. Pair with
+    setup_mixed_split_df_problem / unpack_mixed_split_solution.
+    ``block_i`` feeds the fold sub-hierarchy; ``smooth_block_i`` /
+    ``ps_block_i`` tune the split fine-level kernels. ``force`` runs
+    the tier at grids where compression does not pay (CPU tests)."""
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+
+    if getattr(solver, "boundary_band_iters", 0):
+        import warnings
+
+        warnings.warn(
+            "make_mixed_split_df_solver honors gamma but NOT "
+            "boundary_band_width/iters (use gamma=2 W-cycles here)",
+            stacklevel=2,
+        )
+
+    hier = solver.hier
+    f32 = jnp.float32
+    hier32 = dataclasses.replace(hier, dtype=f32)
+    level = hier.num_levels - 1
+    n = hier.sizes[level]
+    h = hier.spacing(level)
+    ns = solver.n_smooth
+    gamma = solver.gamma
+    gamma_min_n = solver.gamma_min_n
+    if not force and not psp.split_supported(n):
+        raise ValueError(f"split layout does not compress at n={n} "
+                         "(needs rup((n-1)//2,128) == rup(n-1,128)//2)")
+    assert pms.msplit_widths_ok(n), n
+    _, sj, skh = psp.split_shape(n)
+    plan = mixed_split_plan(n, sj, skh, ns, smooth_block_i, ps_block_i)
+    plan1 = mixed_split_plan(n, sj, skh, 1, smooth_block_i, ps_block_i) \
+        if ns > 1 else None
+    # Split ladder (cycles_split): when the full n_smooth window only
+    # fits a tiny block, run single-iteration passes at the bigger
+    # block the halved window allows — identical half-sweep sequence.
+    sm_split = bool(plan1) and plan["smooth"] < 8 \
+        and plan1["smooth"] > plan["smooth"] and plan1["smooth"] >= 4
+    ps_split = bool(plan1) and plan["ps"] < 8 \
+        and plan1["ps"] > plan["ps"] and plan1["ps"] >= 4
+    ok = ((plan["smooth"] or sm_split) and (plan["ps"] or ps_split)
+          and plan["rr"] and plan["resid"])
+    if not ok:
+        raise ValueError(
+            f"mixed split kernels do not fit VMEM at n={n}: {plan}")
+
+    fold_descend = _make_mixed_descend_fold(solver, hier32, jnp_level_max,
+                                            block_i)
+
+    problem = solver.problem
+    pinp = pms.msplit_pin_packs(problem, n, sj, skh)
+    nc = hier.sizes[level - 1]
+    _, sjcf, skcf = pmf.fold_shape(nc)
+    sgn_c = pmf.fold_edge_sign_planes(problem, nc, sjcf, skcf)
+    has_delta = bool(np.any(np.asarray(sgn_c)))
+
+    _, vals64 = problem.boundary_masks(n)
+    v0_hi, v0_lo = pk.df_split(jnp.asarray(vals64[0]))
+    v1_hi, v1_lo = pk.df_split(jnp.asarray(vals64[n - 1]))
+    vals_hi_p = pms.msplit_plane_packs(jnp.stack([v0_hi, v1_hi]), n, sj, skh)
+    vals_lo_p = pms.msplit_plane_packs(jnp.stack([v0_lo, v1_lo]), n, sj, skh)
+
+    def smooth_passes(er, eb, rr_, rb_, red_first, first_from_zero=False,
+                      n_it=ns):
+        for it in range(n_it):
+            if first_from_zero and it == 0:
+                er, eb = pms.mixed_rb_smooth_from_zero_msplit(
+                    rr_, rb_, pinp, h, 1, n, red_first=red_first,
+                    block_i=plan1["from_zero"])
+            else:
+                er, eb = pms.mixed_rb_smooth_msplit(
+                    er, eb, rr_, rb_, pinp, h, 1, n, red_first=red_first,
+                    block_i=plan1["smooth"])
+        return er, eb
+
+    def cycle(e2, r2, from_zero=False):
+        rr_, rb_ = r2
+        if sm_split:
+            e0 = (None, None) if from_zero else e2
+            er, eb = smooth_passes(e0[0], e0[1], rr_, rb_, True,
+                                   first_from_zero=from_zero)
+        elif from_zero:
+            er, eb = pms.mixed_rb_smooth_from_zero_msplit(
+                rr_, rb_, pinp, h, ns, n, red_first=True,
+                block_i=plan["from_zero"])
+        else:
+            er, eb = pms.mixed_rb_smooth_msplit(
+                e2[0], e2[1], rr_, rb_, pinp, h, ns, n, red_first=True,
+                block_i=plan["smooth"])
+        rc = pms.residual_restrict_msplit(er, eb, rr_, rb_, h, n,
+                                          block_i=plan["rr"])
+        ec = fold_descend(None, rc, level - 1, from_zero=True)
+        if level - 1 > 0 and nc >= gamma_min_n:
+            for _ in range(gamma - 1):  # W-cycle revisits (depth-capped)
+                ec = fold_descend(ec, rc, level - 1)
+        if ps_split:
+            er, eb = pms.mixed_prolong_smooth_msplit(
+                ec, er, eb, rr_, rb_, pinp, sgn_c, h, 1, n,
+                block_i=plan1["ps"], with_delta=has_delta)
+            er, eb = smooth_passes(er, eb, rr_, rb_, False, n_it=ns - 1)
+        else:
+            er, eb = pms.mixed_prolong_smooth_msplit(
+                ec, er, eb, rr_, rb_, pinp, sgn_c, h, ns, n,
+                block_i=plan["ps"], with_delta=has_delta)
+        return (er, eb)
+
+    def residual_norm(u4, f4):
+        r_r, r_b, nrm2 = pms.residual_df_norm_msplit(
+            *u4, *f4, h, n, block_i=plan["resid"])
+        return (r_r, r_b), jnp.sqrt(nrm2)
+
+    def body(state):
+        u4, r2, nrm, it, f4 = state
+        e2 = cycle(None, r2, from_zero=True)
+        for _ in range(inner_cycles - 1):  # static unroll
+            e2 = cycle(e2, r2)
+        hr, lr = pk.df_add(u4[0], u4[2], e2[0])
+        hb, lb = pk.df_add(u4[1], u4[3], e2[1])
+        hr, hb = pms.apply_bcs_split_pair(hr, hb, n, pinp, vals_hi_p)
+        lr, lb = pms.apply_bcs_split_pair(lr, lb, n, pinp, vals_lo_p)
+        r2, nrm = residual_norm((hr, hb, lr, lb), f4)
+        return (hr, hb, lr, lb), r2, nrm, it + 1, f4
+
+    @jax.jit
+    def run(u_hr, u_hb, u_lr, u_lb, f_hr, f_hb, f_lr, f_lb):
+        u4 = (u_hr, u_hb, u_lr, u_lb)
+        f4 = (f_hr, f_hb, f_lr, f_lb)
+        r0, n0 = residual_norm(u4, f4)
+        tol = jnp.asarray(rel_tol, f32) * n0
+
+        def cond(state):
+            nrm, it = state[2], state[3]
+            return jnp.logical_and(nrm > tol, it < max_cycles)
+
+        out = jax.lax.while_loop(
+            cond, body, (u4, r0, n0, jnp.asarray(0), f4)
+        )
+        hr, hb, lr, lb = out[0]
+        return hr, hb, lr, lb, out[2], out[3]
+
+    return run
+
+
+def setup_mixed_split_df_problem(solver: MixedBCSolver):
+    """setup_mixed_df_problem packed into split pairs:
+    (u_hr, u_hb, u_lr, u_lb, f_hr, f_hb, f_lr, f_lb)."""
+    u_hi, u_lo, f_hi, f_lo = setup_mixed_df_problem(solver)
+    n = solver.hier.finest_n
+    return (*psp.pack_split(u_hi, n), *psp.pack_split(u_lo, n),
+            *psp.pack_split(f_hi, n), *psp.pack_split(f_lo, n))
+
+
+def unpack_mixed_split_solution(u_hr, u_hb, u_lr, u_lb,
+                                solver: MixedBCSolver):
+    """Split df solution -> (n, n, n) f64 cube with one final host-side
+    BC pass (restores the k faces, which the split layout does not
+    store, and the Dirichlet patch values on their edge nodes)."""
+    hier = solver.hier
+    n = hier.finest_n
+    u_hi = psp.unpack_split(u_hr, u_hb, n)
+    u_lo = psp.unpack_split(u_lr, u_lb, n)
+    if u_hi.shape[2] < n:  # trim width rup(n-1,128) may be n-1 (513)
+        padk = ((0, 0), (0, 0), (0, n - u_hi.shape[2]))
+        u_hi = jnp.pad(u_hi, padk)
+        u_lo = jnp.pad(u_lo, padk)
+    u = pk.unpad3(pk.df_to_f64(u_hi, u_lo), n)
+    return solver._apply_bcs(u, hier.num_levels - 1, zero_dirichlet=False)
+
+
 def setup_mixed_fold_df_problem(solver: MixedBCSolver):
     """setup_mixed_df_problem packed into the fold layout."""
     u_hi, u_lo, f_hi, f_lo = setup_mixed_df_problem(solver)

@@ -10,6 +10,10 @@ gathering modes:
     stages, so in-line host timers are meaningless there — SURVEY.md §5).
   * ``jax.named_scope`` annotations (in profile_cycle's staged fns) so
     ``jax.profiler.trace`` captures the same structure on-device.
+  * ``profile_padded_stages(method="slope")`` — the chain-slope mode
+    that resolves the sub-latency production stages through the axon
+    tunnel (each stage jit-chained at two repetition counts; the
+    per-call cost is the slope, so dispatch latency cancels exactly).
 """
 
 from __future__ import annotations
@@ -71,7 +75,8 @@ def timed_call(info: TimingInfo, stage: int, fn: Callable, *args):
 
 def profile_padded_stages(hier, cfg, block_i: int = 16, reps: int = 20,
                           jnp_level_max: int | None = None,
-                          trim: bool = False):
+                          trim: bool = False, method: str = "call",
+                          chains: tuple = (3, 8)):
     """Per-stage wall times for the PADDED Pallas cycle — the path the
     single-chip performance solver actually runs (cycles_padded).
 
@@ -79,13 +84,25 @@ def profile_padded_stages(hier, cfg, block_i: int = 16, reps: int = 20,
     widths, pk.padded_shape_trim) — every kernel is shape-driven, so
     this is the same code on 2/3 (257³) / 1/2 (129³) of the lanes.
 
-    Returns (rows, latency_s): rows of (label, seconds) for each fused
-    stage at each Pallas level plus the whole jnp-path coarse subtree and
-    the outer double-float stages. Each stage is timed as its own jitted
-    call, best-of-``reps``, with the measured dispatch+readback latency
-    subtracted (through the axon tunnel that latency is ~3 ms — larger
-    than most kernels — so raw per-call numbers are meaningless;
-    see scripts/roofline.py for the slope-based cross-check).
+    ``method``:
+      * ``"call"`` — each stage as one jitted call, best-of-``reps``,
+        with the measured dispatch+readback latency subtracted. Through
+        the axon tunnel that latency is ~24 ms — LARGER than every
+        sub-5 ms stage — so call-mode rows at >=129³ read as 0.00.
+      * ``"slope"`` — the roofline chain-slope method (round-4 verdict
+        item #6): each stage is timed at two jit-chained repetition
+        counts ``chains=(c1, c2)`` (both <= ~10 pallas calls per jit,
+        the tunnel-compiler limit) and the per-call cost is the slope
+        (t(c2) - t(c1)) / (c2 - c1) — dispatch latency cancels exactly,
+        so this resolves the production stages the way timing_info.h's
+        tables resolve the C stages. Feedback-shaped stages chain by
+        feeding their output back; residual+restrict (whose output is
+        coarse) uses ``c2`` DISTINCT pre-built fine inputs so no link
+        is CSE-collapsed and no extra elementwise pass rides the slope.
+
+    Returns (rows, latency_s): rows of (label, seconds-per-call) for
+    each fused stage at each Pallas level plus the whole jnp-path coarse
+    subtree and the outer double-float stages.
     """
     import dataclasses
 
@@ -94,11 +111,14 @@ def profile_padded_stages(hier, cfg, block_i: int = 16, reps: int = 20,
     from multigrid_parallel_tpu import cycles_padded as cp
     from multigrid_parallel_tpu.ops import pallas3d as pk
 
+    assert method in ("call", "slope"), method
     f32 = jnp.float32
     hier32 = dataclasses.replace(hier, dtype=f32)
     n_top = hier32.sizes[hier32.num_levels - 1]
     lvl_max = cp._JNP_LEVEL_MAX if jnp_level_max is None else jnp_level_max
     shape_of = pk.padded_shape_trim if trim else pk.padded_shape
+    c1, c2 = chains
+    assert 1 <= c1 < c2, chains
 
     tiny = jnp.zeros((8, 128), f32)
     lat_fn = jax.jit(lambda t: jnp.sum(t))
@@ -116,8 +136,15 @@ def profile_padded_stages(hier, cfg, block_i: int = 16, reps: int = 20,
 
     rows = []
 
-    def add(label, fn):
-        rows.append((label, max(best(fn) - latency, 0.0)))
+    def add(label, make_chain):
+        """make_chain(c) -> zero-arg jitted callable running c chained
+        stage repetitions and returning a scalar."""
+        if method == "call":
+            rows.append((label, max(best(make_chain(1)) - latency, 0.0)))
+        else:
+            t1 = best(make_chain(c1))
+            t2 = best(make_chain(c2))
+            rows.append((label, max((t2 - t1) / (c2 - c1), 0.0)))
 
     key = jax.random.PRNGKey(0)
     for level in range(hier32.num_levels - 1, -1, -1):
@@ -129,9 +156,18 @@ def profile_padded_stages(hier, cfg, block_i: int = 16, reps: int = 20,
             )
             cyc = cp.make_padded_correction_cycle(sub, cfg, lvl_max)
             r = jax.random.normal(key, shape_of(n), f32)
-            fn = jax.jit(lambda r: jnp.sum(cyc(None, r, from_zero=True)[:1]))
-            add(f"L{level} ({n}³) jnp subtree (whole V to coarse)",
-                lambda: fn(r))
+
+            def mk_sub(c, cyc=cyc, r=r):
+                @jax.jit
+                def run(x):
+                    out = x
+                    for _ in range(c):
+                        out = cyc(None, out, from_zero=True)
+                    return jnp.sum(out[:1])
+
+                return lambda: run(r)
+
+            add(f"L{level} ({n}³) jnp subtree (whole V to coarse)", mk_sub)
             break
         h = hier32.spacing(level)
         shape = shape_of(n)
@@ -139,50 +175,114 @@ def profile_padded_stages(hier, cfg, block_i: int = 16, reps: int = 20,
         r = jax.random.normal(jax.random.PRNGKey(1), shape, f32)
         _, sj, sk = shape
 
-        fz = jax.jit(lambda r: jnp.sum(pk.rb_smooth_from_zero_fused(
-            r, h, cfg.n_smooth, n, red_first=True, block_i=block_i)[:1]))
-        add(f"L{level} ({n}³) smoother (from-zero, {2 * cfg.n_smooth} half)",
-            lambda: fz(r))
+        def mk_fz(c, h=h, n=n, r=r):
+            @jax.jit
+            def run(x):
+                out = x
+                for _ in range(c):
+                    out = pk.rb_smooth_from_zero_fused(
+                        out, h, cfg.n_smooth, n, red_first=True,
+                        block_i=block_i)
+                return jnp.sum(out[:1])
 
-        sm = jax.jit(lambda e, r: jnp.sum(pk.rb_smooth_fused_pipelined(
-            e, r, h, cfg.n_smooth, n, red_first=False, block_i=block_i)[:1]))
+            return lambda: run(r)
+
+        add(f"L{level} ({n}³) smoother (from-zero, {2 * cfg.n_smooth} half)",
+            mk_fz)
+
+        def mk_sm(c, h=h, n=n, e=e, r=r):
+            @jax.jit
+            def run(x, y):
+                out = x
+                for _ in range(c):
+                    out = pk.rb_smooth_fused_pipelined(
+                        out, y, h, cfg.n_smooth, n, red_first=False,
+                        block_i=block_i)
+                return jnp.sum(out[:1])
+
+            return lambda: run(e, r)
+
         add(f"L{level} ({n}³) smoother (pipelined, {2 * cfg.n_smooth} half)",
-            lambda: sm(e, r))
+            mk_sm)
 
         bi_rr = pk.rr_fused_block_i(n, sj, sk, 4)
         if bi_rr:
-            rr = jax.jit(lambda e, r: jnp.sum(
-                pk.residual_restrict_fused_padded(e, r, h, n, block_i=bi_rr)[:1]))
-            add(f"L{level} ({n}³) residual+restrict fused", lambda: rr(e, r))
+            # coarse output cannot feed back: give every link its own
+            # (pre-built, outside the timed region) fine input instead
+            es = [e * (1.0 + 0.001 * k) for k in range(c2)]
+            jax.block_until_ready(es)
+
+            def mk_rr(c, h=h, n=n, bi_rr=bi_rr, es=es, r=r):
+                @jax.jit
+                def run(y, *xs):
+                    acc = jnp.zeros((), f32)
+                    for x in xs:
+                        rc = pk.residual_restrict_fused_padded(
+                            x, y, h, n, block_i=bi_rr)
+                        acc = acc + jnp.sum(rc[:1])
+                    return acc
+
+                return lambda: run(r, *es[:c])
+
+            add(f"L{level} ({n}³) residual+restrict fused", mk_rr)
 
         bi_ps = pk.ps_fused_block_i(n, sj, sk, cfg.n_smooth, 4)
         if bi_ps:
             nc = hier32.sizes[level - 1]
             ec = jax.random.normal(key, shape_of(nc), f32)
-            ps = jax.jit(lambda ec, e, r: jnp.sum(
-                pk.prolong_smooth_fused_padded(
-                    ec, e, r, h, cfg.n_smooth, n, block_i=bi_ps)[:1]))
-            add(f"L{level} ({n}³) prolong+correct+post-smooth fused",
-                lambda: ps(ec, e, r))
 
-    # outer double-float stages at the finest level
+            def mk_ps(c, h=h, n=n, bi_ps=bi_ps, ec=ec, e=e, r=r):
+                @jax.jit
+                def run(z, x, y):
+                    out = x
+                    for _ in range(c):
+                        out = pk.prolong_smooth_fused_padded(
+                            z, out, y, h, cfg.n_smooth, n, block_i=bi_ps)
+                    return jnp.sum(out[:1])
+
+                return lambda: run(ec, e, r)
+
+            add(f"L{level} ({n}³) prolong+correct+post-smooth fused", mk_ps)
+
+    # outer double-float stages at the finest level (chained links feed
+    # the residual back as u_hi — values overflow to inf/nan after a few
+    # links, which TPUs process at full speed; only timing matters here)
     h_top = hier32.spacing(hier32.num_levels - 1)
     shape = shape_of(n_top)
     uh = jax.random.normal(key, shape, f32)
     ul = jax.random.normal(jax.random.PRNGKey(2), shape, f32) * 1e-8
     fh = jax.random.normal(jax.random.PRNGKey(3), shape, f32)
     fl = jnp.zeros(shape, f32)
-    dfn = jax.jit(lambda uh, ul, fh, fl: pk.residual_df_norm_fused_padded(
-        uh, ul, fh, fl, h_top, n_top)[1])
-    add(f"outer ({n_top}³) EFT residual+norm fused",
-        lambda: dfn(uh, ul, fh, fl))
+
+    def mk_dfn(c):
+        @jax.jit
+        def run(a, b, y, z):
+            out = a
+            for _ in range(c):
+                out = pk.residual_df_norm_fused_padded(
+                    out, b, y, z, h_top, n_top)[0]
+            return jnp.sum(out[:1])
+
+        return lambda: run(uh, ul, fh, fl)
+
+    add(f"outer ({n_top}³) EFT residual+norm fused", mk_dfn)
     bi_step = pk.df_step_block_i(n_top, shape[1], shape[2])
     if bi_step:
         e = jax.random.normal(jax.random.PRNGKey(4), shape, f32)
-        st = jax.jit(lambda uh, ul, e, fh, fl: pk.df_step_residual_norm_fused(
-            uh, ul, e, fh, fl, h_top, n_top, block_i=bi_step)[3])
-        add(f"outer ({n_top}³) df-add+EFT residual+norm fused",
-            lambda: st(uh, ul, e, fh, fl))
+
+        def mk_st(c):
+            @jax.jit
+            def run(a, b, d, y, z):
+                ah, al, ee = a, b, d
+                for _ in range(c):
+                    ah, al, rr_, _ = pk.df_step_residual_norm_fused(
+                        ah, al, ee, y, z, h_top, n_top, block_i=bi_step)
+                    ee = rr_
+                return jnp.sum(ah[:1])
+
+            return lambda: run(uh, ul, e, fh, fl)
+
+        add(f"outer ({n_top}³) df-add+EFT residual+norm fused", mk_st)
 
     return rows, latency
 

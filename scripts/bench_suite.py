@@ -265,11 +265,13 @@ def stage_rows():
 
     hier = mg.Hierarchy(ndim=3, coarse_n=5, num_levels=7)
     rows_raw, lat = profile_padded_stages(hier, mg.CycleConfig(n_smooth=2),
-                                          trim=True)
+                                          trim=True, method="slope",
+                                          reps=8)
     rows = [f"| {lbl} | {t * 1e3:.2f} |" for lbl, t in rows_raw]
     for r in rows:
         print(r, flush=True)
-    print(f"(latency subtracted: {lat * 1e3:.2f} ms)")
+    print(f"(chain-slope method: dispatch latency [{lat * 1e3:.2f} ms "
+          f"measured] cancels in the slope)")
     return rows, lat
 
 

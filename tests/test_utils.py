@@ -132,3 +132,25 @@ def test_profile_padded_stages_structure():
     assert any("EFT residual+norm" in lbl for lbl in labels)
     assert all(t >= 0.0 for _, t in rows)
     assert lat >= 0.0
+
+
+def test_profile_padded_stages_slope_mode():
+    """The chain-slope mode (round-4 verdict item #6) produces the same
+    row structure with per-call slopes; on CPU (no dispatch latency to
+    cancel) the slope must be positive for the real stages."""
+    from multigrid_parallel_tpu.cycles import CycleConfig
+    from multigrid_parallel_tpu.utils.timing import profile_padded_stages
+
+    hier = Hierarchy(ndim=3, coarse_n=5, num_levels=3)  # 17^3
+    rows_c, _ = profile_padded_stages(
+        hier, CycleConfig(n_smooth=2), reps=1, jnp_level_max=9
+    )
+    rows_s, _ = profile_padded_stages(
+        hier, CycleConfig(n_smooth=2), reps=1, jnp_level_max=9,
+        method="slope", chains=(1, 3)
+    )
+    assert [lbl for lbl, _ in rows_s] == [lbl for lbl, _ in rows_c]
+    assert all(t >= 0.0 for _, t in rows_s)
+    # the jnp subtree runs real work on CPU: its slope is nonzero
+    sub = [t for lbl, t in rows_s if "jnp subtree" in lbl]
+    assert sub and sub[0] > 0.0
